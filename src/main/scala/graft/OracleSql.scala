@@ -1,0 +1,120 @@
+package graft
+
+import graft.sources.Gen
+
+/** DuckDB oracle SQL, generated from the same pools/arithmetic as the
+  * Scala corpus generator (graft.sources.Gen). The driver runs these
+  * against the sfDir parquet tables and hash-compares with the Spark
+  * results — so each query here is an independent recomputation of what
+  * the full pipeline should produce.
+  */
+object OracleSql {
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ",", "]")
+
+  private val personsL = sqlList(Gen.persons)
+  private val gpesL = sqlList(Gen.gpes)
+  private val aliasesL = sqlList(Gen.gpeAliases)
+  private val nounsL = sqlList(Gen.fillNouns)
+  private val fverbsL = sqlList(Gen.fillVerbs)
+  private val phrasesL = sqlList(Gen.predPhrases)
+  private val predsL = sqlList(Gen.predNames)
+  private val pathsL = sqlList(Gen.predPaths)
+
+  /** Per-(doc, sentence) expansion with all derived indices; the base
+    * CTE every kg oracle builds on. */
+  val baseCte: String =
+    s"""WITH sidx(s) AS (SELECT 0 UNION ALL SELECT 1 UNION ALL SELECT 2),
+       |b AS (
+       |  SELECT d.doc_id AS id, sidx.s AS s,
+       |         (d.doc_id*19 + sidx.s*5) % 20 AS r,
+       |         CAST((d.doc_id*13 + sidx.s*7) % 40 AS INT) AS pi,
+       |         CAST((d.doc_id*17 + sidx.s*11) % 25 AS INT) AS gi,
+       |         ((d.doc_id + sidx.s) % 9 = 0) AS al
+       |  FROM documents d CROSS JOIN sidx WHERE sidx.s <= d.doc_id % 3
+       |),
+       |bb AS (
+       |  SELECT id, s, pi, gi, al,
+       |         CASE WHEN r<10 THEN 1 WHEN r<15 THEN 2 WHEN r<17 THEN 3
+       |              WHEN r=17 THEN 4 WHEN r=18 THEN 5 ELSE 6 END AS ri
+       |  FROM b
+       |)""".stripMargin
+
+  val kgTriples: String =
+    s"""$baseCte
+       |SELECT CAST(id AS VARCHAR) AS doc_id,
+       |  ($personsL)[pi+1] AS subj,
+       |  ($predsL)[ri] AS pred,
+       |  CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END AS obj
+       |FROM bb""".stripMargin
+
+  val kgCanonicalTriples: String =
+    s"""$baseCte
+       |SELECT CAST(id AS VARCHAR) AS doc_id,
+       |  ($personsL)[pi+1] AS subj,
+       |  ($predsL)[ri] AS pred,
+       |  CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END AS obj,
+       |  ($personsL)[pi+1] AS canonical_subj,
+       |  ($gpesL)[gi+1] AS canonical_obj
+       |FROM bb""".stripMargin
+
+  val kgPathTypes: String =
+    s"""$baseCte
+       |SELECT 'PERSON' AS type1, ($pathsL)[ri] AS path, 'GPE' AS type2,
+       |       count(*) AS cnt
+       |FROM bb GROUP BY 1, 2, 3""".stripMargin
+
+  val kgPathInstances: String =
+    s"""$baseCte
+       |SELECT ($personsL)[pi+1] AS arg1,
+       |       ($pathsL)[ri] AS path,
+       |       CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END AS arg2,
+       |       count(*) AS cnt,
+       |       min(($personsL)[pi+1] || ' ' || ($phrasesL)[ri] || ' ' ||
+       |           CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END
+       |           || '.') AS example
+       |FROM bb GROUP BY 1, 2, 3""".stripMargin
+
+  /** Interleaved span sequence (kind, text, media_ref, order) — the
+    * per-row invariant, recomputed independently. Span order: optional
+    * filler, then per sentence s: text span + optional media span. */
+  val kgSpansRoundtrip: String = {
+    val mediaBefore =
+      """(CASE WHEN (id + 0) % 4 = 0 AND s > 0 THEN 1 ELSE 0 END +
+        | CASE WHEN (id + 1) % 4 = 0 AND s > 1 THEN 1 ELSE 0 END)""".stripMargin
+    val filler = "CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END"
+    val sentText =
+      s"""($personsL)[pi+1] || ' ' || ($phrasesL)[ri] || ' ' ||
+         |CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END || '.'""".stripMargin
+    s"""$baseCte
+       |SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, 0 AS ord,
+       |       'text' AS kind,
+       |       'The ' || ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] || ' ' ||
+       |       ($fverbsL)[CAST((d.doc_id*23) % 4 AS INT)+1] || ' the ' ||
+       |       ($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1] || '.' AS text,
+       |       '' AS media_ref
+       |FROM documents d WHERE d.doc_id % 2 = 0
+       |UNION ALL
+       |SELECT CAST(id AS VARCHAR), $filler + s + $mediaBefore,
+       |       'text', $sentText, ''
+       |FROM bb
+       |UNION ALL
+       |SELECT CAST(id AS VARCHAR), $filler + s + $mediaBefore + 1,
+       |       'media', '', 'm-' || id || '-' || s
+       |FROM bb WHERE (id + s) % 4 = 0""".stripMargin
+  }
+
+  /** Term doc/total frequencies from the filler sentences (A3). */
+  val kgTermCounts: String =
+    s"""WITH f AS (
+       |  SELECT d.doc_id AS id,
+       |         ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] AS n1,
+       |         ($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1] AS n2
+       |  FROM documents d WHERE d.doc_id % 2 = 0
+       |), t AS (
+       |  SELECT id, n1 AS term FROM f UNION ALL SELECT id, n2 FROM f
+       |)
+       |SELECT term, count(DISTINCT id) AS doc_freq, count(*) AS total_freq
+       |FROM t GROUP BY 1""".stripMargin
+}

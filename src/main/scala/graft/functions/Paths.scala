@@ -1,0 +1,265 @@
+package graft.functions
+
+import graft.core.{Dep, Name, Sentence}
+import graft.nlp.Nlp
+
+import scala.collection.mutable
+
+/** Lexicalized dependency-path machinery: BFS shortest path, quantifier
+  * regularization, linearization, and the weighted path edit-distance
+  * matcher. Pure functions — invoked from typed flatMap on executors.
+  *
+  * References (behavior only, re-expressed from scratch):
+  *  - BFS + disallowed labels: DepPaths.java:112-123,429-474
+  *  - path string form `label1:word1:...:labelk`: DepPath.java:156-185
+  *  - quantifier regularization: DepPathRegularizer.java:22-73
+  *  - linearization + transcriptions: DepPath.java:196-311
+  *  - weighted edit distance: PathMatcher.java:16-110
+  */
+object Paths {
+
+  /** Labels the BFS never traverses (F4, DepPaths.java:112-123). */
+  private val disallowed: Set[String] = {
+    val base = Set("advcl", "rcmod", "mod", "conj")
+    base ++ base.map(_ + "-1")
+  }
+
+  /** Max arcs in a regularized path (F3, DepPaths.java:364-366). */
+  val MaxPathArcs = 5
+  /** Mention-pair window (DepPaths.java:80-82,103). */
+  val MaxInterveningMentions = 3
+  val MaxMentionsPerSentence = 50
+  /** Sentence guards (F1, DepPaths.java:72,300-309). */
+  val MaxSentenceChars = 600
+
+  def sentenceAllowed(text: String): Boolean =
+    text.length <= MaxSentenceChars &&
+      !text.exists(c => "()[]{}\"".contains(c))
+
+  /** One BFS step: (neighbor token, label, word of neighbor). */
+  private final case class Edge(to: Int, label: String)
+
+  /** Shortest dependency path from token `from` to token `to`, avoiding
+    * the head tokens of other mentions (`blocked`), over arcs + their
+    * inverses (`label-1`, DepPaths.java:250-251). Returns the node/label
+    * sequence or None. */
+  def bfs(deps: Seq[Dep], from: Int, to: Int, blocked: Set[Int])
+      : Option[(Vector[Int], Vector[String])] = {
+    if (from == to) return None
+    val adj = mutable.Map.empty[Int, mutable.ArrayBuffer[Edge]]
+    def add(s: Int, t: Int, l: String): Unit =
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += Edge(t, l)
+    deps.foreach { d =>
+      if (!disallowed(d.dep)) add(d.srcPos, d.tgtPos, d.dep)
+      if (!disallowed(d.dep + "-1")) add(d.tgtPos, d.srcPos, d.dep + "-1")
+    }
+    val prev = mutable.Map.empty[Int, (Int, String)]
+    val seen = mutable.Set(from)
+    var frontier = List(from)
+    var found = false
+    while (frontier.nonEmpty && !found) {
+      val next = mutable.ListBuffer.empty[Int]
+      for (n <- frontier; e <- adj.getOrElse(n, Nil)) {
+        if (!seen(e.to) && (e.to == to || !blocked(e.to))) {
+          seen += e.to
+          prev(e.to) = (n, e.label)
+          if (e.to == to) found = true else next += e.to
+        }
+      }
+      frontier = next.toList
+    }
+    if (!found) None
+    else {
+      var nodes = List(to)
+      var labels = List.empty[String]
+      while (nodes.head != from) {
+        val (p, l) = prev(nodes.head)
+        labels = l :: labels
+        nodes = p :: nodes
+      }
+      Some((nodes.toVector, labels.toVector))
+    }
+  }
+
+  /** Render the path string `label1:word1:label2:word2:...:labelk` with
+    * intermediate node words lemmatized (DepPath.java:156-185 +
+    * lemmatizePath). */
+  def pathString(sentence: Sentence, nodes: Vector[Int],
+                 labels: Vector[String]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < labels.length) {
+      if (i > 0) sb.append(':')
+      sb.append(labels(i))
+      if (i < labels.length - 1)
+        sb.append(':').append(Nlp.lemma(sentence.tokens(nodes(i + 1)).word))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Quantifier regularization (F13, DepPathRegularizer.java:22-73):
+    * collapse `X:prep:of:pobj`-style quantifier hops (`Q of Y` → `Y`). */
+  private val quantifiers = Set("pound", "kilo", "ton", "amount", "number",
+    "dozen", "hundred", "thousand", "million", "lot", "group", "series")
+
+  def regularize(path: String): String = {
+    val segs = path.split(':')
+    // pattern ... q(prep)(of)(pobj) ... : drop "q:prep:of:pobj" -> direct hop
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < segs.length) {
+      if (i + 4 < segs.length && quantifiers(segs(i + 1)) &&
+          segs(i + 2) == "prep" && segs(i + 3) == "of" && segs(i + 4) == "pobj") {
+        out += segs(i) // keep the incoming label, skip quantifier + of hop
+        i += 5
+      } else { out += segs(i); i += 1 }
+    }
+    out.mkString(":")
+  }
+
+  def arcCount(path: String): Int = (path.split(':').length + 1) / 2
+
+  /** Label transcriptions used during linearization
+    * (DepPath.java:196-311). */
+  private val transcriptions = Map("appos" -> ",", "poss" -> "'s",
+    "conj" -> "and", "infmod" -> "to", "purpcl" -> "to")
+
+  /** Linearize a path into an English-ish repr: path nodes in sentence
+    * order, endpoints replaced by their entity types, transcribed labels
+    * inserted, adjacent duplicates dropped; lowercased per
+    * DepPathMap.normalizeRepr (DepPathMap.java:231-234). */
+  def linearize(sentence: Sentence, nodes: Vector[Int],
+                labels: Vector[String], type1: String, type2: String): String = {
+    val endpoint = Map(nodes.head -> type1, nodes.last -> type2)
+    val words = nodes.sorted.map { n =>
+      endpoint.getOrElse(n, sentence.tokens(n).word)
+    }
+    val extra = labels.flatMap(l => transcriptions.get(l.stripSuffix("-1")))
+    val all = (words ++ extra).toList
+    val dedup = all.foldLeft(List.empty[String]) {
+      case (acc, w) if acc.headOption.contains(w) => acc
+      case (acc, w) => w :: acc
+    }.reverse
+    normalizeRepr(dedup.mkString(" "))
+  }
+
+  /** lowercase + collapse whitespace (F15, DepPathMap.java:231-234) —
+    * but keep type placeholders distinguishable by uppercasing them at
+    * lookup time instead; reprs compare case-insensitively. */
+  def normalizeRepr(repr: String): String =
+    repr.toLowerCase.replaceAll("\\s+", " ").trim
+
+  /** Swap `(1)`/`(2)` subscripts for symmetric-type paths (F16,
+    * DepPathMap.java:115-120). */
+  def swap12(s: String): String =
+    s.replace("(1)", "()").replace("(2)", "(1)").replace("()", "(2)")
+
+  /** Path simplification applied by the tagger before matching (F14,
+    * RelaxedDepPathRelationTagger.java:85-91). */
+  def simplifyForTagging(path: String): String =
+    path.replace("would:vch:", "").replace("be:vch:", "").replace("were:vch:", "")
+
+  // --- weighted path edit distance (soft matcher, PathMatcher.java) -------
+
+  final case class MatchCosts(replace: Double, insert: Double, delete: Double)
+  /** Production decode costs (RelaxedDepPathRelationTagger.java:244). */
+  val DefaultCosts: MatchCosts = MatchCosts(0.8, 0.3, 1.2)
+  val MatchThreshold = 0.5
+  val NegDiscount = 0.8
+
+  private val labelWeights = Map("nsubj-1" -> 1.5, "dobj-1" -> 1.5,
+    "nsubj" -> 1.0, "dobj" -> 0.5, "preps_of" -> 0.2, "preps_with" -> 0.2)
+  private val LabelMismatchPenalty = 2.5
+
+  private def nodeWeight(n: String): Double = labelWeights.getOrElse(n, 1.0)
+
+  private def isLabelNode(n: String, idx: Int): Boolean = idx % 2 == 0
+
+  /** Generalized weighted edit distance over `:`-split path nodes
+    * (PathMatcher.java:16-110). Word-similarity hook defaults to exact
+    * match (sim = 1.0 iff equal). */
+  def pathEditDistance(a: String, b: String, c: MatchCosts = DefaultCosts,
+                       wordSim: (String, String) => Double =
+                         (x, y) => if (x == y) 1.0 else 0.0): Double = {
+    val xs = a.split(':')
+    val ys = b.split(':')
+    val n = xs.length; val m = ys.length
+    val d = Array.ofDim[Double](n + 1, m + 1)
+    var i = 1
+    while (i <= n) { d(i)(0) = d(i - 1)(0) + c.delete * nodeWeight(xs(i - 1)); i += 1 }
+    var j = 1
+    while (j <= m) { d(0)(j) = d(0)(j - 1) + c.insert * nodeWeight(ys(j - 1)); j += 1 }
+    i = 1
+    while (i <= n) {
+      j = 1
+      while (j <= m) {
+        val x = xs(i - 1); val y = ys(j - 1)
+        val sub =
+          if (x == y) 0.0
+          else if (isLabelNode(x, i - 1) != isLabelNode(y, j - 1) ||
+                   (isLabelNode(x, i - 1) && isLabelNode(y, j - 1)))
+            (if (isLabelNode(x, i - 1) && isLabelNode(y, j - 1) && x != y)
+              LabelMismatchPenalty
+            else c.replace * (1.0 - wordSim(x, y)) * math.max(nodeWeight(x), nodeWeight(y)))
+          else c.replace * (1.0 - wordSim(x, y))
+        d(i)(j) = math.min(
+          d(i - 1)(j - 1) + sub,
+          math.min(d(i - 1)(j) + c.delete * nodeWeight(x),
+                   d(i)(j - 1) + c.insert * nodeWeight(y)))
+        j += 1
+      }
+      i += 1
+    }
+    d(n)(m)
+  }
+
+  /** Soft-match decision (PathRelationExtractor.java:82-145): best
+    * positive rule under threshold·|rule|, not beaten by the best
+    * same-type negative rule at `NegDiscount`. */
+  def softMatch(candidate: String,
+                positives: Seq[(String, String)], // (path, relName)
+                negatives: Seq[(String, String)]): Option[String] = {
+    def best(rules: Seq[(String, String)]): Option[(String, Double)] =
+      rules.iterator.map { case (p, r) =>
+        (r, pathEditDistance(candidate, p) / math.max(1, p.split(':').length))
+      }.minByOption(_._2)
+    best(positives) match {
+      case Some((rel, s)) if s < MatchThreshold =>
+        best(negatives.filter(_._2 == rel)) match {
+          case Some((_, ns)) if ns * NegDiscount < s => None
+          case _ => Some(rel)
+        }
+      case _ => None
+    }
+  }
+
+  /** Character edit distance (DepPathMap.java:266-302). */
+  def editDistance(a: String, b: String): Int = {
+    val d = Array.ofDim[Int](a.length + 1, b.length + 1)
+    for (i <- 0 to a.length) d(i)(0) = i
+    for (j <- 0 to b.length) d(0)(j) = j
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  /** Mention-pair enumeration (F2, DepPaths.java:312-341): sorted
+    * mentions, pairs within the intervening-mention window, capped
+    * sentence mention count.
+    *
+    * NOTE on the reference's literal `for (i=0; i<mis-2; i++)` bound
+    * (DepPaths.java:326): applied literally it emits NO pair for a
+    * 2-mention sentence, contradicting the reference's own validateCLI
+    * golden ("one 'lives' relation in each doc" from 2-mention
+    * sentences). We follow the golden — all pair starts — and document
+    * the off-by-one here instead of reproducing it. */
+  def mentionPairs(names: Seq[Name]): Seq[(Name, Name)] = {
+    val ms = names.sortBy(_.tokStart).take(MaxMentionsPerSentence)
+    for {
+      i <- ms.indices
+      j <- (i + 1) until math.min(ms.length, i + MaxInterveningMentions + 2)
+    } yield (ms(i), ms(j))
+  }
+}

@@ -1,0 +1,227 @@
+package graft.nlp
+
+import graft.core.{Dep, Name, Sentence, Token}
+import graft.sources.Gen
+
+/** Deterministic, self-contained NLP for the fixture grammar
+  * (SURVEY.md §7 module 2). Reimplements — from public behavior only —
+  * the JET steps the reference pipeline needs: tokenizer, lexicon POS
+  * tagger, gazetteer name tagger, deterministic dependency parser,
+  * lemmatizer/stemmer, NP-term extraction
+  * (cf. /root/reference/src/props/parseprops:25-31 pipeline order and
+  * IcePreprocessor.java:163-221). The parity domain is the bundled-style
+  * tiny corpora + the synthetic corpus, mirroring the reference's own
+  * unit-test strategy (DepPathsTest.java supplies parses inline).
+  *
+  * Everything here is a pure function — safe to call from typed
+  * map/flatMap on executors without shared state.
+  */
+object Nlp {
+
+  // --- lexicons -----------------------------------------------------------
+
+  /** verb surface → lemma (covers the generator grammar + the reference's
+    * unit-test sentences: visited/lived/shot — DepPathsTest.java:55,88,119). */
+  val verbLemma: Map[String, String] = Map(
+    "lives" -> "live", "lived" -> "live", "live" -> "live",
+    "visited" -> "visit", "visits" -> "visit", "visit" -> "visit",
+    "works" -> "work", "worked" -> "work",
+    "moved" -> "move", "moves" -> "move",
+    "born" -> "born", "shot" -> "shot",
+    "died" -> "die", "dies" -> "die",
+    "is" -> "be", "was" -> "be", "were" -> "be", "are" -> "be",
+    "has" -> "have", "have" -> "have", "had" -> "have",
+    "mentioned" -> "mention", "praised" -> "praise",
+    "reviewed" -> "review", "criticized" -> "criticize")
+
+  /** auxiliary verbs that start a verb chain (vch) when followed by a verb. */
+  private val auxiliaries = Set("is", "was", "were", "are", "has", "have", "had")
+
+  private val prepositions = Set("in", "to", "at", "of", "from", "with")
+  private val determiners = Set("the", "a", "an")
+  private val adverbs = Set("here", "yesterday", "today", "now")
+  val stopwords: Set[String] = determiners ++ prepositions ++
+    Set("and", "or", "be", "been", "this", "that", "it", "news")
+
+  private val firstNames: Set[String] =
+    Gen.persons.map(_.split(' ')(0)).toSet
+  private val lastNames: Set[String] =
+    Gen.persons.map(_.split(' ')(1)).toSet
+  /** city surface → canonical city (aliases resolve to their base form). */
+  val gpeCanonical: Map[String, String] =
+    Gen.gpes.map(g => g -> g).toMap ++
+      Gen.gpes.zip(Gen.gpeAliases).map { case (g, a) => a -> g }.toMap
+
+  def lemma(w: String): String = verbLemma.getOrElse(w.toLowerCase, w.toLowerCase)
+
+  // --- tokenizer ----------------------------------------------------------
+
+  private val tokenRe = "[A-Za-z][A-Za-z-]*|[0-9]+|'s|[.,;:!?$]".r
+
+  def tokenize(text: String): Vector[Token] =
+    tokenRe.findAllMatchIn(text).map { m =>
+      Token(m.matched, m.start, m.end, posOf(m.matched))
+    }.toVector
+
+  // --- POS (lexicon tagger, cf. "tagPOS" stage) ----------------------------
+
+  private def posOf(w: String): String = {
+    val lw = w.toLowerCase
+    if (w == "'s") "POS"
+    else if (".,;:!?".contains(w) && w.length == 1) "."
+    else if (w == "$") "$"
+    else if (w.forall(_.isDigit)) "CD"
+    else if (verbLemma.contains(lw) && lw != "born" && lw != "shot") tagVerb(lw)
+    else if (lw == "born" || lw == "shot") "VBN"
+    else if (prepositions(lw)) "IN"
+    else if (determiners(lw)) "DT"
+    else if (adverbs(lw)) "RB"
+    else if (w.head.isUpper) "NNP"
+    else "NN"
+  }
+
+  private def tagVerb(lw: String): String =
+    if (lw.endsWith("ed") || lw == "was" || lw == "were" || lw == "had") "VBD"
+    else if (lw.endsWith("s")) "VBZ"
+    else "VB"
+
+  // --- gazetteer name tagger (broadcast-dict style, cf. onoma export
+  //     JetEngineBuilder.java:140-156 consumed by tagNamesFromOnoma) ------
+
+  def tagNames(tokens: Vector[Token]): Vector[Name] = {
+    val out = Vector.newBuilder[Name]
+    var i = 0
+    while (i < tokens.length) {
+      val t = tokens(i)
+      if (t.pos == "NNP" && firstNames(t.word) && i + 1 < tokens.length &&
+          tokens(i + 1).pos == "NNP" && lastNames(tokens(i + 1).word)) {
+        val surf = t.word + " " + tokens(i + 1).word
+        out += Name(i, i + 2, i + 1, "PERSON", surf, surf)
+        i += 2
+      } else if (t.pos == "NNP" && gpeCanonical.contains(t.word)) {
+        out += Name(i, i + 1, i, "GPE", t.word, gpeCanonical(t.word))
+        i += 1
+      } else i += 1
+    }
+    out.result()
+  }
+
+  // --- deterministic dependency parser ------------------------------------
+
+  /** Pattern-grammar dependency parser for the fixture domain. Emits
+    * reference-style arcs (nsubj, vch, prep, pobj, dobj, det, nn) with
+    * the same shapes the reference's unit tests supply inline
+    * (DepPathsTest.java:43-47,72-80). */
+  def parse(tokens: Vector[Token]): Vector[Dep] = {
+    val arcs = Vector.newBuilder[Dep]
+    def mk(label: String, s: Int, t: Int): Dep =
+      Dep(label, tokens(s).word, s, tokens(s).pos, tokens(t).word, t, tokens(t).pos)
+    val verbIdx = tokens.indices.filter(i => tokens(i).pos.startsWith("VB"))
+    if (verbIdx.isEmpty) return arcs.result()
+    val v0 = verbIdx.head
+    // verb chain: auxiliary followed (possibly over an adverb) by a verb
+    val chained = verbIdx.find(j => j > v0 && j - v0 <= 2 &&
+      auxiliaries(tokens(v0).word.toLowerCase))
+    val main = chained.getOrElse(v0)
+    chained.foreach(j => arcs += mk("vch", v0, j))
+    // subject = last NN/NNP before the first verb
+    val subj = (0 until v0).reverse
+      .find(i => tokens(i).pos == "NNP" || tokens(i).pos == "NN")
+    subj.foreach { s =>
+      arcs += mk("nsubj", v0, s)
+      // nn arc for a two-token name
+      if (s > 0 && tokens(s - 1).pos == "NNP" && tokens(s).pos == "NNP")
+        arcs += mk("nn", s, s - 1)
+    }
+    // complement: first IN or noun after the main verb (skipping adverbs)
+    var j = main + 1
+    while (j < tokens.length && tokens(j).pos == "RB") j += 1
+    if (j < tokens.length) {
+      if (tokens(j).pos == "IN") {
+        arcs += mk("prep", main, j)
+        val obj = (j + 1 until tokens.length)
+          .find(k => tokens(k).pos == "NNP" || tokens(k).pos == "NN")
+        obj.foreach { o =>
+          arcs += mk("pobj", j, o)
+          if (o > j + 1 && tokens(o - 1).pos == "DT") arcs += mk("det", o, o - 1)
+          if (o > 0 && tokens(o - 1).pos == "NNP" && tokens(o).pos == "NNP")
+            arcs += mk("nn", o, o - 1)
+        }
+      } else {
+        val obj = (j until tokens.length)
+          .find(k => tokens(k).pos == "NNP" || tokens(k).pos == "NN")
+        obj.foreach { o =>
+          arcs += mk("dobj", main, o)
+          if (o > 0 && tokens(o - 1).pos == "DT") arcs += mk("det", o, o - 1)
+          if (o > 0 && tokens(o - 1).pos == "NNP" && tokens(o).pos == "NNP")
+            arcs += mk("nn", o, o - 1)
+        }
+      }
+    }
+    // determiner of the subject
+    subj.foreach { s =>
+      if (s > 0 && tokens(s - 1).pos == "DT") arcs += mk("det", s, s - 1)
+    }
+    arcs.result()
+  }
+
+  /** Verb-chain transform (DepTransformer analog, DepPaths.java:245-251):
+    * collapse vch(aux, main) by re-attaching the auxiliary's dependents
+    * to the chain's main verb, dropping the vch arc. */
+  def transform(arcs: Vector[Dep]): Vector[Dep] = {
+    val chains = arcs.filter(_.dep == "vch")
+    if (chains.isEmpty) return arcs
+    val auxToMain = chains.map(a => a.srcPos -> a).toMap
+    arcs.flatMap { a =>
+      if (a.dep == "vch") None
+      else auxToMain.get(a.srcPos) match {
+        case Some(ch) =>
+          Some(a.copy(srcWord = ch.tgtWord, srcPos = ch.tgtPos, srcTag = ch.tgtTag))
+        case None => Some(a)
+      }
+    }
+  }
+
+  // --- NP term extraction (X8/F7, TermCounter.java:224-252) ---------------
+
+  /** Candidate terms: common nouns heading an NP, length > 1,
+    * non-stopword, not overlapping a tagged name. */
+  def extractTerms(tokens: Vector[Token], names: Vector[Name]): Vector[String] = {
+    val nameToks: Set[Int] =
+      names.flatMap(n => n.tokStart until n.tokEnd).toSet
+    tokens.indices.collect {
+      case i if tokens(i).pos == "NN" && !nameToks(i) &&
+        tokens(i).word.length > 1 && !stopwords(tokens(i).word.toLowerCase) =>
+        tokens(i).word.toLowerCase
+    }.toVector
+  }
+
+  /** Full per-sentence analysis. */
+  def analyze(text: String, offset: Int): Sentence = {
+    val toks = tokenize(text)
+    val names = tagNames(toks)
+    val deps = parse(toks)
+    Sentence(text, offset, toks, names, deps, extractTerms(toks, names))
+  }
+
+  /** Sentence splitter: period boundary (texts in this domain are single
+    * sentences per span, but handle multi-sentence spans too). */
+  def splitSentences(text: String): Vector[(String, Int)] = {
+    val out = Vector.newBuilder[(String, Int)]
+    var start = 0
+    var i = 0
+    while (i < text.length) {
+      if (text.charAt(i) == '.' &&
+          (i + 1 >= text.length || text.charAt(i + 1) == ' ')) {
+        val s = text.substring(start, i + 1)
+        if (s.trim.nonEmpty) out += ((s.trim, start))
+        start = i + 1
+        while (start < text.length && text.charAt(start) == ' ') start += 1
+        i = start
+      } else i += 1
+    }
+    if (start < text.length && text.substring(start).trim.nonEmpty)
+      out += ((text.substring(start).trim, start))
+    out.result()
+  }
+}

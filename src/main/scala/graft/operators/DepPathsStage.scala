@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.core._
+import graft.functions.Paths
+import graft.nlp.Nlp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Stage: dependency-path mining (the reference's core "query",
+  * DepPaths.java:217-414 re-expressed as typed flatMap + hash aggs).
+  *
+  * Per sentence: guard filters (F1) → mention pairs (F2) → BFS shortest
+  * path over transformed arcs (X3) → regularize (F13) + length cutoff
+  * (F3) → record instance/typed strings (X4) + linearized repr over the
+  * untransformed arcs (X5).
+  *
+  * Aggregations are plain `groupBy` hash aggs (automatic partial/final);
+  * the Zipf-hot typed-path counts additionally go through the salted
+  * two-phase helper (north rule).
+  */
+object DepPathsStage {
+
+  /** Typed-path key rendering with `(1)/(2)` subscripts for same types
+    * except OTHER (DepPaths.java:390-393). */
+  def typedKey(type1: String, type2: String): (String, String) =
+    if (type1 == type2 && type1 != "OTHER") (type1 + "(1)", type2 + "(2)")
+    else (type1, type2)
+
+  def instances(docs: Dataset[AnnotatedDoc]): Dataset[PathInstance] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { doc =>
+      doc.sentences.iterator.zipWithIndex
+        .filter { case (s, _) => Paths.sentenceAllowed(s.text) }
+        .flatMap { case (sent, si) =>
+          val deps = sent.deps.toVector
+          val transformed = Nlp.transform(deps)
+          val heads = sent.names.map(_.head).toSet
+          Paths.mentionPairs(sent.names).iterator.flatMap { case (m1, m2) =>
+            val blocked = heads - m1.head - m2.head
+            for {
+              (tNodes, tLabels) <- Paths.bfs(transformed, m1.head, m2.head, blocked)
+              (oNodes, oLabels) <- Paths.bfs(deps, m1.head, m2.head, blocked)
+              path = Paths.regularize(Paths.pathString(sent, tNodes, tLabels))
+              if Paths.arcCount(path) <= Paths.MaxPathArcs
+            } yield {
+              val (t1, t2) = typedKey(m1.etype, m2.etype)
+              val repr = Paths.linearize(sent, oNodes, oLabels, m1.etype, m2.etype)
+              PathInstance(doc.doc_id, si, t1, t2, m1.surface, m2.surface,
+                m1.canonical, m2.canonical, path, repr, sent.text)
+            }
+          }
+        }
+    }
+  }
+
+  /** `paths` table: instance counts + deterministic first example
+    * (A1/A2; "first wins" replaced by min for order-independence at any
+    * parallelism — SURVEY §7 risk 5). */
+  def pathsTable(inst: Dataset[PathInstance]): DataFrame =
+    inst.groupBy(col("arg1"), col("path"), col("arg2"))
+      .agg(count(lit(1)).as("cnt"), min(col("example")).as("example"))
+
+  /** `path_types` table via salted two-phase aggregation — predicate
+    * frequencies are Zipf-skewed, so the single-key groupBy would put
+    * half the rows in one reducer at scale. */
+  def pathTypesTable(inst: Dataset[PathInstance]): DataFrame =
+    graft.functions.Salting.saltedCount(
+      inst.toDF(), Seq("type1", "path", "type2"), saltBuckets = 32)
+
+  /** `path_repr` table: one repr + example per typed path; merge prefers
+    * the shorter repr (IceCLI.java:656-665) with a total tiebreak. */
+  def pathReprTable(inst: Dataset[PathInstance]): DataFrame =
+    inst.groupBy(col("type1"), col("path"), col("type2"))
+      .agg(min(struct(length(col("repr")).as("l"), col("repr").as("r")))
+             .getField("r").as("repr"),
+           min(col("example")).as("example"))
+}

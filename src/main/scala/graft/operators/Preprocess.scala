@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.core._
+import graft.nlp.Nlp
+import org.apache.spark.sql.Dataset
+
+/** Stage 1: NLP preprocess (X1/X2). `Dataset[IceDoc]` →
+  * `Dataset[AnnotatedDoc]` via mapPartitions — the reference's most
+  * expensive stage (IcePreprocessor.java:163-221, "several hours" per
+  * ICE_Design.md:16-22), which is why its output is the stage-1
+  * checkpoint table.
+  *
+  * Media spans are never analyzed; the whole input span sequence is
+  * carried through verbatim on every row (the span-sequence invariant).
+  */
+object Preprocess {
+
+  def annotate(docs: Dataset[IceDoc]): Dataset[AnnotatedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { it =>
+      it.map { doc =>
+        val sentences = doc.spans.iterator
+          .filter(_.kind == "text")
+          .flatMap { sp =>
+            Nlp.splitSentences(sp.text).map { case (sent, local) =>
+              Nlp.analyze(sent, sp.offset + local)
+            }
+          }
+          .toVector
+        AnnotatedDoc(doc.doc_id, doc.spans, sentences)
+      }
+    }
+  }
+}

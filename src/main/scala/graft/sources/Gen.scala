@@ -1,0 +1,108 @@
+package graft.sources
+
+import graft.core.{IceDoc, SpanT}
+
+/** Deterministic synthetic interleaved-document generator.
+  *
+  * The corpus is a pure function of `doc_id` (modular arithmetic over
+  * fixed pools), mirroring how the reference's own unit tests supply
+  * sentences + parses inline (DepPathsTest.java:43-47) and the
+  * validateCLI tiny corpora. Because every sentence is arithmetic in
+  * `doc_id`, an independent DuckDB SQL oracle can reconstruct the
+  * expected pipeline outputs from the `documents` parquet table alone —
+  * that is the end-to-end correctness gate.
+  *
+  * Grammar (the parity domain, per SURVEY.md §7 scope control):
+  *   [filler?] ( PERSON <pred-phrase> GPE . ) x (1..3)  with media spans
+  * interleaved. Predicate selection is Zipf-skewed (livesIn = 50% of
+  * sentences) to exercise salted two-phase aggregation; person/city
+  * pools are small enough to create hot entities.
+  */
+object Gen {
+  val persons: IndexedSeq[String] = {
+    val firsts = Vector("Fred", "Harriet", "Mary", "John", "Alice", "Robert",
+      "Susan", "David", "Linda", "James", "Karen", "Peter", "Nancy", "Frank",
+      "Carol", "Henry", "Diane", "Walter", "Janet", "Arthur")
+    val lasts = Vector("Smith", "Jones", "Brown", "Taylor", "Miller", "Wilson",
+      "Moore", "Clark", "Hall", "Young", "Allen", "King", "Wright", "Scott",
+      "Green", "Baker", "Adams", "Nelson", "Hill", "Carter")
+    (0 until 40).map(i => firsts(i % 20) + " " + lasts((i * 7 + 3) % 20))
+  }
+
+  val gpes: IndexedSeq[String] = Vector("Chicago", "Seattle", "Boston",
+    "Denver", "Atlanta", "Houston", "Phoenix", "Dallas", "Portland", "Miami",
+    "Detroit", "Memphis", "Baltimore", "Milwaukee", "Tucson", "Fresno",
+    "Sacramento", "Omaha", "Raleigh", "Oakland", "Tampa", "Aurora",
+    "Anaheim", "Riverside", "Lexington")
+
+  /** Alias surface forms for cities; canonicalization must map an alias
+    * back to its canonical city (connected-components stage). */
+  val gpeAliases: IndexedSeq[String] = gpes.map(_ + "ville")
+
+  val fillNouns: IndexedSeq[String] = Vector("budget", "report", "election",
+    "merger", "lawsuit", "treaty", "drought", "festival", "protest",
+    "verdict", "audit", "shortage")
+
+  /** filler verbs (past tense) and their lemmas. */
+  val fillVerbs: IndexedSeq[String] =
+    Vector("mentioned", "praised", "reviewed", "criticized")
+  val fillVerbLemmas: IndexedSeq[String] =
+    Vector("mention", "praise", "review", "criticize")
+
+  /** Predicate phrases between PERSON and GPE; selection thresholds over
+    * r = (id*19 + s*5) % 20 give the Zipf skew. */
+  val predPhrases: IndexedSeq[String] = Vector("lives in", "visited",
+    "works in", "moved to", "was born in", "died in")
+  val predNames: IndexedSeq[String] = Vector("livesIn", "visited", "worksIn",
+    "movedTo", "bornIn", "diedIn")
+  /** Lexicalized dependency path each predicate's sentences produce. */
+  val predPaths: IndexedSeq[String] = Vector(
+    "nsubj-1:live:prep:in:pobj",
+    "nsubj-1:visit:dobj",
+    "nsubj-1:work:prep:in:pobj",
+    "nsubj-1:move:prep:to:pobj",
+    "nsubj-1:born:prep:in:pobj",
+    "nsubj-1:die:prep:in:pobj")
+
+  def predIndex(r: Long): Int =
+    if (r < 10) 0 else if (r < 15) 1 else if (r < 17) 2
+    else if (r == 17) 3 else if (r == 18) 4 else 5
+
+  def nSentences(id: Long): Int = (id % 3).toInt + 1
+  def hasFiller(id: Long): Boolean = id % 2 == 0
+  def fillerNoun1(id: Long): String = fillNouns(((id * 3) % 12).toInt)
+  def fillerNoun2(id: Long): String = fillNouns(((id * 5 + 7) % 12).toInt)
+  def fillerVerb(id: Long): String = fillVerbs(((id * 23) % 4).toInt)
+  def personIdx(id: Long, s: Int): Int = ((id * 13 + s * 7) % 40).toInt
+  def gpeIdx(id: Long, s: Int): Int = ((id * 17 + s * 11) % 25).toInt
+  def rSel(id: Long, s: Int): Long = (id * 19 + s * 5) % 20
+  def usesAlias(id: Long, s: Int): Boolean = (id + s) % 9 == 0
+  def hasMedia(id: Long, s: Int): Boolean = (id + s) % 4 == 0
+
+  def fillerSentence(id: Long): String =
+    s"The ${fillerNoun1(id)} ${fillerVerb(id)} the ${fillerNoun2(id)}."
+
+  def mainSentence(id: Long, s: Int): String = {
+    val p = persons(personIdx(id, s))
+    val g = if (usesAlias(id, s)) gpeAliases(gpeIdx(id, s)) else gpes(gpeIdx(id, s))
+    s"$p ${predPhrases(predIndex(rSel(id, s)))} $g."
+  }
+
+  /** Build the interleaved document for a numeric id. Text offsets are
+    * cumulative over text spans only; media spans sit between at the
+    * current text offset. */
+  def doc(id: Long): IceDoc = {
+    val spans = Vector.newBuilder[SpanT]
+    var off = 0
+    def addText(t: String): Unit = { spans += SpanT("text", t, "", off); off += t.length }
+    if (hasFiller(id)) addText(fillerSentence(id))
+    var s = 0
+    val n = nSentences(id)
+    while (s < n) {
+      addText(mainSentence(id, s))
+      if (hasMedia(id, s)) spans += SpanT("media", "", s"m-$id-$s", off)
+      s += 1
+    }
+    IceDoc(id.toString, spans.result())
+  }
+}
