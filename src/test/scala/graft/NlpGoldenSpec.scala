@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.Paths
+import graft.nlp.Nlp
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden per-operator tests mirroring the reference's own unit suite
+  * (DepPathsTest.java:24-151): exact expected path strings for the
+  * fixture sentences. */
+class NlpGoldenSpec extends AnyFunSuite {
+
+  private def pathOf(sentText: String): Option[String] = {
+    val s = Nlp.analyze(sentText, 0)
+    assert(s.names.length >= 2, s"expected 2+ names in: $sentText -> ${s.names}")
+    val m1 = s.names.head; val m2 = s.names.last
+    val trans = Nlp.transform(s.deps.toVector)
+    Paths.bfs(trans, m1.head, m2.head, Set.empty).map { case (n, l) =>
+      Paths.regularize(Paths.pathString(s, n, l))
+    }
+  }
+
+  test("'Fred Smith visited Chicago.' -> nsubj-1:visit:dobj (DepPathsTest.java:55)") {
+    assert(pathOf("Fred Smith visited Chicago.").contains("nsubj-1:visit:dobj"))
+  }
+
+  test("'Fred Smith has lived in Chicago.' -> nsubj-1:live:prep:in:pobj (DepPathsTest.java:88)") {
+    assert(pathOf("Fred Smith has lived in Chicago.").contains("nsubj-1:live:prep:in:pobj"))
+  }
+
+  test("'Fred Smith lives in Chicago.' -> nsubj-1:live:prep:in:pobj") {
+    assert(pathOf("Fred Smith lives in Chicago.").contains("nsubj-1:live:prep:in:pobj"))
+  }
+
+  test("passive 'Fred Smith was shot in Chicago.' yields a transformed path (DepPathsTest.java:100-129)") {
+    val p = pathOf("Fred Smith was shot in Chicago.")
+    assert(p.contains("nsubj-1:shot:prep:in:pobj"))
+  }
+
+  test("linearized repr of the lives path") {
+    val s = Nlp.analyze("Fred Smith lives in Chicago.", 0)
+    val m1 = s.names.head; val m2 = s.names.last
+    val (n, l) = Paths.bfs(s.deps, m1.head, m2.head, Set.empty).get
+    assert(Paths.linearize(s, n, l, "PERSON", "GPE") === "person lives in gpe")
+  }
+
+  test("no-name sentence produces no pairs ('Here is today's news.')") {
+    val s = Nlp.analyze("Here is today's news.", 0)
+    assert(s.names.isEmpty)
+    assert(Paths.mentionPairs(s.names).isEmpty)
+  }
+
+  test("alias city resolves to canonical form in gazetteer") {
+    val s = Nlp.analyze("Mary Jones lives in Chicagoville.", 0)
+    val gpe = s.names.find(_.etype == "GPE").get
+    assert(gpe.surface === "Chicagoville" && gpe.canonical === "Chicago")
+  }
+
+  test("filler sentence yields term candidates, not names") {
+    val s = Nlp.analyze("The budget mentioned the report.", 0)
+    assert(s.names.isEmpty)
+    assert(s.terms === Vector("budget", "report"))
+  }
+}
