@@ -105,6 +105,140 @@ object OracleSql {
        |FROM bb WHERE (id + s) % 4 = 0""".stripMargin
   }
 
+  private val fvLemmasL = sqlList(Gen.fillVerbLemmas)
+
+  /** Per-filler-doc noun/verb derivations, the base for term/event/PMI
+    * oracles. */
+  private val fillerCte: String =
+    s"""WITH f AS (
+       |  SELECT d.doc_id AS id,
+       |         ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] AS n1,
+       |         ($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1] AS n2,
+       |         ($fvLemmasL)[CAST((d.doc_id*23) % 4 AS INT)+1] AS fvl
+       |  FROM documents d WHERE d.doc_id % 2 = 0
+       |)""".stripMargin
+
+  val kgDepEvents: String =
+    s"""$fillerCte
+       |SELECT CAST(id AS VARCHAR) AS doc_id, n1 AS term,
+       |       'nsubj-1_' || fvl AS context FROM f
+       |UNION ALL
+       |SELECT CAST(id AS VARCHAR), n2, 'dobj-1_' || fvl FROM f""".stripMargin
+
+  val kgEntityIndex: String =
+    s"""$fillerCte,
+       |ev AS (
+       |  SELECT n1 AS term, 'nsubj-1_' || fvl AS context FROM f
+       |  UNION ALL SELECT n2, 'dobj-1_' || fvl FROM f
+       |),
+       |cells AS (SELECT term, context, count(*) AS cnt FROM ev GROUP BY 1,2),
+       |rt AS (SELECT term, sum(cnt) AS row_total FROM cells GROUP BY 1),
+       |ct AS (SELECT context, sum(cnt) AS ctx_total FROM cells GROUP BY 1),
+       |n AS (SELECT sum(cnt) AS n FROM cells)
+       |SELECT c.term, c.context, c.cnt,
+       |       round(ln(c.cnt / rt.row_total / (ct.ctx_total / n.n)), 6) AS pmi
+       |FROM cells c, rt, ct, n
+       |WHERE c.term = rt.term AND c.context = ct.context
+       |  AND round(ln(c.cnt / rt.row_total / (ct.ctx_total / n.n)), 6) > 0.1""".stripMargin
+
+  val kgEntityExpansion: String = {
+    val seeds = s"'${Gen.fillNouns(0)}','${Gen.fillNouns(1)}'"
+    s"""$fillerCte,
+       |ev AS (
+       |  SELECT n1 AS term, 'nsubj-1_' || fvl AS context FROM f
+       |  UNION ALL SELECT n2, 'dobj-1_' || fvl FROM f
+       |),
+       |cells AS (SELECT term, context, count(*) AS cnt FROM ev GROUP BY 1,2),
+       |rt AS (SELECT term, sum(cnt) AS row_total FROM cells GROUP BY 1),
+       |ct AS (SELECT context, sum(cnt) AS ctx_total FROM cells GROUP BY 1),
+       |n AS (SELECT sum(cnt) AS n FROM cells),
+       |idx AS (
+       |  SELECT c.term, c.context,
+       |         round(ln(c.cnt / rt.row_total / (ct.ctx_total / n.n)), 6) AS pmi
+       |  FROM cells c, rt, ct, n
+       |  WHERE c.term = rt.term AND c.context = ct.context
+       |    AND round(ln(c.cnt / rt.row_total / (ct.ctx_total / n.n)), 6) > 0.1
+       |),
+       |cen AS (SELECT context, sum(pmi) AS w FROM idx
+       |        WHERE term IN ($seeds) GROUP BY 1),
+       |np AS (SELECT sqrt(sum(w*w)) AS norm_p FROM cen),
+       |pt AS (
+       |  SELECT i.term,
+       |         sum(i.pmi * coalesce(cen.w, 0)) AS dot_pos,
+       |         sqrt(sum(i.pmi * i.pmi)) AS norm
+       |  FROM idx i LEFT JOIN cen ON i.context = cen.context
+       |  GROUP BY 1
+       |)
+       |SELECT pt.term, round(pt.dot_pos / pt.norm / np.norm_p, 6) AS score
+       |FROM pt, np WHERE pt.term NOT IN ($seeds)""".stripMargin
+  }
+
+  val kgTermRank: String =
+    s"""WITH f AS (
+       |  SELECT d.doc_id AS id, (d.doc_id % 4) AS m,
+       |         ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] AS n1,
+       |         ($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1] AS n2
+       |  FROM documents d WHERE d.doc_id % 2 = 0
+       |), t AS (
+       |  SELECT id, m, n1 AS term FROM f UNION ALL SELECT id, m, n2 FROM f
+       |), fg AS (
+       |  SELECT term, count(DISTINCT id) AS doc_freq, count(*) AS total_freq
+       |  FROM t WHERE m = 0 GROUP BY 1
+       |), bg AS (
+       |  SELECT term, count(DISTINCT id) AS bg_doc_freq FROM t WHERE m = 2 GROUP BY 1
+       |)
+       |SELECT fg.term, fg.doc_freq, fg.total_freq,
+       |       round(fg.doc_freq * ln(fg.doc_freq) /
+       |             (coalesce(bg.bg_doc_freq, 0) + 1), 6) AS score
+       |FROM fg LEFT JOIN bg ON fg.term = bg.term""".stripMargin
+
+  val kgBootstrapScores: String =
+    s"""$baseCte,
+       |inst AS (
+       |  SELECT ($personsL)[pi+1] || ':::' ||
+       |         CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END AS arg_pair,
+       |         ($pathsL)[ri] AS path
+       |  FROM bb
+       |),
+       |seed_pairs AS (SELECT DISTINCT arg_pair FROM inst
+       |               WHERE path = '${Gen.predPaths(0)}'),
+       |totals AS (SELECT path, count(DISTINCT arg_pair) AS total_count
+       |           FROM inst GROUP BY 1),
+       |shared AS (
+       |  SELECT i.path, count(DISTINCT i.arg_pair) AS score
+       |  FROM inst i JOIN seed_pairs s ON i.arg_pair = s.arg_pair GROUP BY 1
+       |)
+       |SELECT t.path, t.total_count, coalesce(sh.score, 0) AS score
+       |FROM totals t LEFT JOIN shared sh ON t.path = sh.path
+       |WHERE t.path <> '${Gen.predPaths(0)}'""".stripMargin
+
+  val kgEvents: String =
+    s"""$baseCte
+       |SELECT key, count(*) AS cnt FROM (
+       |  SELECT ($fvLemmasL)[CAST((d.doc_id*23) % 4 AS INT)+1] || ' nsubj:' ||
+       |         ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] || ' dobj:' ||
+       |         ($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1] AS key
+       |  FROM documents d WHERE d.doc_id % 2 = 0
+       |  UNION ALL
+       |  SELECT 'visit nsubj:PERSON dobj:GPE' FROM bb WHERE ri = 2
+       |) GROUP BY 1""".stripMargin
+
+  val kgRules: String =
+    s"""$baseCte,
+       |p AS (SELECT DISTINCT ($pathsL)[ri] AS path, ($predsL)[ri] AS rel FROM bb)
+       |SELECT 'PERSON--' || path || '--GPE' AS pattern,
+       |       rel AS rel_name,
+       |       'PERSON--' || path || '--GPE = ' || rel AS rule_line
+       |FROM p""".stripMargin
+
+  val kgTriplesSoft: String =
+    s"""$baseCte
+       |SELECT CAST(id AS VARCHAR) AS doc_id,
+       |  ($personsL)[pi+1] AS subj,
+       |  CASE WHEN ri = 6 THEN 'bornIn' ELSE ($predsL)[ri] END AS pred,
+       |  CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END AS obj
+       |FROM bb""".stripMargin
+
   /** Term doc/total frequencies from the filler sentences (A3). */
   val kgTermCounts: String =
     s"""WITH f AS (

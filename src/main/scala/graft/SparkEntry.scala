@@ -24,6 +24,16 @@ object SparkEntry {
     "kg_path_instances" -> ((s, dir) =>
       graft.operators.DepPathsStage.pathsTable(KgPipeline.instances(s, dir))),
     "kg_spans_roundtrip" -> ((s, dir) => KgPipeline.spansRoundtrip(s, dir)),
+    "kg_term_counts" -> ((s, dir) => KgPipeline.termCounts(s, dir)),
+    "kg_term_rank" -> ((s, dir) => KgPipeline.termRank(s, dir)),
+    "kg_dep_events" -> ((s, dir) => KgPipeline.depEvents(s, dir)),
+    "kg_entity_index" -> ((s, dir) => KgPipeline.entityIndex(s, dir)),
+    "kg_entity_expansion" -> ((s, dir) => KgPipeline.entityExpansion(s, dir)),
+    "kg_bootstrap_scores" -> ((s, dir) => KgPipeline.bootstrapScores(s, dir)),
+    "kg_events" -> ((s, dir) => KgPipeline.events(s, dir)),
+    "kg_rules" -> ((s, dir) => KgPipeline.rulesTable(s, dir)),
+    "kg_triples_soft" -> ((s, dir) => KgPipeline.triplesSoft(s, dir)),
+    "kg_canonical_triples" -> ((s, dir) => KgPipeline.canonicalTriples(s, dir)),
     "q1_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -39,6 +49,16 @@ object SparkEntry {
     "kg_path_types" -> OracleSql.kgPathTypes,
     "kg_path_instances" -> OracleSql.kgPathInstances,
     "kg_spans_roundtrip" -> OracleSql.kgSpansRoundtrip,
+    "kg_term_counts" -> OracleSql.kgTermCounts,
+    "kg_term_rank" -> OracleSql.kgTermRank,
+    "kg_dep_events" -> OracleSql.kgDepEvents,
+    "kg_entity_index" -> OracleSql.kgEntityIndex,
+    "kg_entity_expansion" -> OracleSql.kgEntityExpansion,
+    "kg_bootstrap_scores" -> OracleSql.kgBootstrapScores,
+    "kg_events" -> OracleSql.kgEvents,
+    "kg_rules" -> OracleSql.kgRules,
+    "kg_triples_soft" -> OracleSql.kgTriplesSoft,
+    "kg_canonical_triples" -> OracleSql.kgCanonicalTriples,
     "q1_agg" -> """SELECT l_returnflag, l_linestatus,
       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,

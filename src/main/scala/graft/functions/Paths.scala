@@ -197,12 +197,11 @@ object Paths {
         val x = xs(i - 1); val y = ys(j - 1)
         val sub =
           if (x == y) 0.0
-          else if (isLabelNode(x, i - 1) != isLabelNode(y, j - 1) ||
-                   (isLabelNode(x, i - 1) && isLabelNode(y, j - 1)))
-            (if (isLabelNode(x, i - 1) && isLabelNode(y, j - 1) && x != y)
-              LabelMismatchPenalty
-            else c.replace * (1.0 - wordSim(x, y)) * math.max(nodeWeight(x), nodeWeight(y)))
-          else c.replace * (1.0 - wordSim(x, y))
+          else if (isLabelNode(x, i - 1) && isLabelNode(y, j - 1))
+            LabelMismatchPenalty // two different labels (PathMatcher.java:73-78)
+          else
+            c.replace * (1.0 - wordSim(x, y)) *
+              math.max(nodeWeight(x), nodeWeight(y))
         d(i)(j) = math.min(
           d(i - 1)(j - 1) + sub,
           math.min(d(i - 1)(j) + c.delete * nodeWeight(x),
@@ -223,7 +222,7 @@ object Paths {
     def best(rules: Seq[(String, String)]): Option[(String, Double)] =
       rules.iterator.map { case (p, r) =>
         (r, pathEditDistance(candidate, p) / math.max(1, p.split(':').length))
-      }.minByOption(_._2)
+      }.minByOption(t => (t._2, t._1)) // deterministic tie-break on rule name
     best(positives) match {
       case Some((rel, s)) if s < MatchThreshold =>
         best(negatives.filter(_._2 == rel)) match {

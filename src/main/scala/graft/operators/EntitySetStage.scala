@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.core.AnnotatedDoc
+import graft.nlp.Nlp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stage: distributional entity-set machinery.
+  *
+  *  - dep-event extraction (X9, EntitySetIndexer.java:375-408): for each
+  *    term head, contexts = governing arc `type-1_lemma(governor)` +
+  *    governed arcs `type_lemma(dependent)`, stopwords excluded
+  *  - context-count matrix (A6) + PMI normalization (A7,
+  *    EntitySetIndexer.java:297-343; keep cells > 0.1)
+  *  - centroid/cosine expansion scoring (A12,
+  *    EntitySetExpander.java:310-397): seed centroid broadcast, cosine
+  *    per term, ranked
+  */
+object EntitySetStage {
+
+  /** `(doc_id, term, context)` dep events. */
+  def depEvents(docs: Dataset[AnnotatedDoc]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+      d.sentences.flatMap { s =>
+        val termToks = s.tokens.zipWithIndex.collect {
+          case (t, i) if s.terms.contains(t.word.toLowerCase) => i -> t.word.toLowerCase
+        }.toMap
+        s.deps.flatMap { a =>
+          val gov = termToks.get(a.tgtPos).collect {
+            case term if !Nlp.stopwords(a.srcWord.toLowerCase) =>
+              (d.doc_id, term, s"${a.dep}-1_${Nlp.lemma(a.srcWord)}")
+          }
+          val dep = termToks.get(a.srcPos).collect {
+            case term if !Nlp.stopwords(a.tgtWord.toLowerCase) =>
+              (d.doc_id, term, s"${a.dep}_${Nlp.lemma(a.tgtWord)}")
+          }
+          gov.toSeq ++ dep.toSeq
+        }
+      }
+    }.toDF("doc_id", "term", "context")
+  }
+
+  /** PMI matrix (A7): cell -> ln(cnt / rowSum / prior), prior =
+    * ctxTotal / N; keep > 0.1 (EntitySetIndexer.java:325-356). Pure
+    * built-in aggs: one count matrix, two marginals joined back. PMI
+    * rounded to 6 dp for cross-engine comparability. */
+  def entityIndex(events: DataFrame): DataFrame = {
+    val cells = events.groupBy(col("term"), col("context"))
+      .agg(count(lit(1)).as("cnt"))
+    val rowTotals = cells.groupBy(col("term"))
+      .agg(sum(col("cnt")).as("row_total"))
+    val ctxTotals = cells.groupBy(col("context"))
+      .agg(sum(col("cnt")).as("ctx_total"))
+    val n = cells.agg(sum(col("cnt"))).first().getLong(0).toDouble
+    cells.join(rowTotals, "term")
+      .join(broadcast(ctxTotals), "context")
+      .withColumn("pmi", round(
+        log(col("cnt") / col("row_total") / (col("ctx_total") / lit(n))), 6))
+      .filter(col("pmi") > 0.1)
+      .select(col("term"), col("context"), col("cnt"), col("pmi"))
+  }
+
+  /** Expansion scoring (A12): centroid = sum of seed PMI vectors
+    * (driver-side — seeds are a handful), broadcast; score = cosine
+    * with a 0.5-weighted negative-centroid penalty when negatives are
+    * given; ranked descending with a total tiebreak. */
+  def expand(spark: SparkSession, index: DataFrame, seeds: Set[String],
+             negSeeds: Set[String] = Set.empty, gamma: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    def centroid(of: Set[String]): Map[String, Double] =
+      if (of.isEmpty) Map.empty
+      else index.filter(col("term").isin(of.toSeq: _*))
+        .select("context", "pmi").as[(String, Double)].collect()
+        .groupMapReduce(_._1)(_._2)(_ + _)
+    val posC = centroid(seeds)
+    val negC = centroid(negSeeds)
+    val normP = math.sqrt(posC.valuesIterator.map(v => v * v).sum)
+    val normN = math.sqrt(negC.valuesIterator.map(v => v * v).sum)
+    val cen = (posC.keySet ++ negC.keySet).toSeq.map { c =>
+      (c, posC.getOrElse(c, 0.0), negC.getOrElse(c, 0.0))
+    }
+    val cenDf = broadcast(cen.toDF("context", "cen_pos", "cen_neg"))
+    val perTerm = index.join(cenDf, Seq("context"), "left")
+      .groupBy(col("term"))
+      .agg(sum(col("pmi") * coalesce(col("cen_pos"), lit(0.0))).as("dot_pos"),
+           sum(col("pmi") * coalesce(col("cen_neg"), lit(0.0))).as("dot_neg"),
+           sqrt(sum(col("pmi") * col("pmi"))).as("norm"))
+    val posCos = if (normP == 0) lit(0.0)
+      else col("dot_pos") / col("norm") / lit(normP)
+    val negCos = if (normN == 0) lit(0.0)
+      else col("dot_neg") / col("norm") / lit(normN)
+    perTerm
+      .withColumn("score", round(posCos - lit(gamma) * negCos, 6))
+      .filter(!col("term").isin(seeds.toSeq: _*))
+      .select(col("term"), col("score"))
+      .orderBy(desc("score"), asc("term"))
+  }
+}

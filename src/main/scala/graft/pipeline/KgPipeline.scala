@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.core._
 import graft.operators._
-import graft.sources.Gen
+import graft.sources.{Gen, TableIO}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -61,4 +61,105 @@ object KgPipeline {
       .select(col("doc_id"), col("ord"),
         col("span.kind").as("kind"), col("span.text").as("text"),
         col("span.media_ref").as("media_ref"))
+
+  def termCounts(spark: SparkSession, sfDir: String): DataFrame =
+    TermsStage.termCounts(annotated(spark, sfDir))
+
+  /** fg/bg term ranking: foreground = docs with id % 4 == 0, background
+    * = docs with id % 4 == 2 (both deterministic slices, J1 join). */
+  def termRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val ann = annotated(spark, sfDir)
+    import spark.implicits._
+    val fg = TermsStage.termCounts(ann.filter(d => d.doc_id.toLong % 4 == 0))
+    val bg = TermsStage.termCounts(ann.filter(d => d.doc_id.toLong % 4 == 2))
+    TermsStage.rankTerms(fg, bg)
+  }
+
+  def depEvents(spark: SparkSession, sfDir: String): DataFrame =
+    EntitySetStage.depEvents(annotated(spark, sfDir))
+
+  def entityIndex(spark: SparkSession, sfDir: String): DataFrame =
+    EntitySetStage.entityIndex(depEvents(spark, sfDir))
+
+  /** Entity-set expansion from two noun seeds (EntitySetExpander flow). */
+  def entityExpansion(spark: SparkSession, sfDir: String): DataFrame =
+    EntitySetStage.expand(spark, entityIndex(spark, sfDir),
+      seeds = Set(Gen.fillNouns(0), Gen.fillNouns(1)))
+
+  /** Bootstrap shared-arg candidate scores, seeded with the livesIn
+    * path (A10/J2/J3). */
+  def bootstrapScores(spark: SparkSession, sfDir: String): DataFrame =
+    BootstrapStage.sharedArgScores(instances(spark, sfDir),
+      seedPaths = Set(Gen.predPaths(0)))
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    EventsStage.eventCounts(EventsStage.events(annotated(spark, sfDir)))
+
+  def rules(spark: SparkSession, sfDir: String): Seq[RelationRule] = {
+    val repr = DepPathsStage.pathReprTable(instances(spark, sfDir))
+    TaggerStage.rulesFromSeeds(spark, repr, seedPhrases)
+  }
+
+  def rulesTable(spark: SparkSession, sfDir: String): DataFrame =
+    Export.rulesTable(spark, rules(spark, sfDir))
+
+  /** Tagging with the diedIn rule removed: those candidates must reach
+    * the triple table through the soft matcher (J8) instead — the
+    * normalized distance to the bornIn/livesIn/worksIn rules (one word
+    * substitution, 0.8/5 = 0.16) is under the 0.5 threshold, and the
+    * deterministic (distance, name) tie-break picks bornIn. */
+  def triplesSoft(spark: SparkSession, sfDir: String): DataFrame = {
+    val inst = instances(spark, sfDir)
+    val rs = rules(spark, sfDir).filterNot(_.relName == "diedIn")
+    TaggerStage.triples(inst, rs).toDF()
+  }
+
+  def canonicalTriples(spark: SparkSession, sfDir: String): DataFrame =
+    Canonicalize.canonicalTriples(triples(spark, sfDir),
+      graft.nlp.Nlp.gpeCanonical).toDF()
+
+  /** Materialized end-to-end run with snapshot/manifest commits: every
+    * stage writes through TableIO; a rerun (after a kill) skips every
+    * stage whose snapshot is committed and recomputes only the rest. */
+  def runAll(spark: SparkSession, sfDir: String, root: String): TableIO = {
+    val io = new TableIO(spark, root)
+    val ann = io.getOrCompute("annotations") {
+      annotated(spark, sfDir).toDF()
+    }
+    import spark.implicits._
+    val annDs = ann.as[AnnotatedDoc]
+    val inst = io.getOrCompute("path_instances", inputs = Seq("annotations")) {
+      DepPathsStage.instances(annDs).toDF()
+    }
+    val instDs = inst.as[PathInstance]
+    io.getOrCompute("paths", inputs = Seq("path_instances")) {
+      DepPathsStage.pathsTable(instDs)
+    }
+    io.getOrCompute("path_types", inputs = Seq("path_instances")) {
+      DepPathsStage.pathTypesTable(instDs)
+    }
+    val repr = io.getOrCompute("path_repr", inputs = Seq("path_instances")) {
+      DepPathsStage.pathReprTable(instDs)
+    }
+    io.getOrCompute("term_counts", inputs = Seq("annotations")) {
+      TermsStage.termCounts(annDs)
+    }
+    io.getOrCompute("entity_index", inputs = Seq("annotations")) {
+      EntitySetStage.entityIndex(EntitySetStage.depEvents(annDs))
+    }
+    io.getOrCompute("events", inputs = Seq("annotations")) {
+      EventsStage.eventCounts(EventsStage.events(annDs))
+    }
+    val ruleSeq = TaggerStage.rulesFromSeeds(spark, repr, seedPhrases)
+    io.getOrCompute("rules", inputs = Seq("path_repr")) {
+      Export.rulesTable(spark, ruleSeq)
+    }
+    val tri = io.getOrCompute("triples", inputs = Seq("path_instances", "rules")) {
+      TaggerStage.triples(instDs, ruleSeq).toDF()
+    }
+    io.getOrCompute("canonical_triples", inputs = Seq("triples")) {
+      Canonicalize.canonicalTriples(tri.as[Triple], graft.nlp.Nlp.gpeCanonical).toDF()
+    }
+    io
+  }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import graft.core.{IceDoc, SpanT}
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the wider stage inventory: connected components,
+  * events, PMI, bootstrap scoring, scorer. */
+class StagesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components: chain, cycle, singleton") {
+    val edges = Seq(("b", "c"), ("a", "b"), ("d", "e"), ("e", "f"), ("f", "d"),
+      ("z", "z")).toDF("src", "dst")
+    val comps = Canonicalize.connectedComponents(edges)
+      .as[(String, String)].collect().toMap
+    assert(comps("a") === "a" && comps("b") === "a" && comps("c") === "a")
+    assert(comps("d") === "d" && comps("e") === "d" && comps("f") === "d")
+    assert(comps("z") === "z")
+  }
+
+  test("event extraction: filler sentence yields verb-headed tree with nsubj+dobj") {
+    val docs = spark.createDataset(Seq(
+      IceDoc("e1", Seq(SpanT("text", "The budget mentioned the report.", "", 0)))))
+    val ev = EventsStage.events(Preprocess.annotate(docs)).collect()
+    assert(ev.length === 1)
+    assert(ev.head.key === "mention nsubj:budget dobj:report")
+  }
+
+  test("event extraction: typed args use entity types; prep-only verbs excluded") {
+    val docs = spark.createDataset(Seq(
+      IceDoc("e2", Seq(SpanT("text", "Fred Smith visited Chicago.", "", 0))),
+      IceDoc("e3", Seq(SpanT("text", "Fred Smith lives in Chicago.", "", 0)))))
+    val ev = EventsStage.events(Preprocess.annotate(docs)).collect()
+    assert(ev.map(_.key).toSeq === Seq("visit nsubj:PERSON dobj:GPE"))
+  }
+
+  test("PMI index keeps only cells > 0.1") {
+    val events = Seq(
+      ("d1", "cat", "nsubj-1_chase"), ("d2", "cat", "nsubj-1_chase"),
+      ("d3", "cat", "dobj-1_feed"), ("d4", "dog", "nsubj-1_chase"),
+      ("d5", "dog", "dobj-1_feed"), ("d6", "dog", "dobj-1_feed"))
+      .toDF("doc_id", "term", "context")
+    val idx = EntitySetStage.entityIndex(events)
+      .select("term", "context", "pmi")
+      .as[(String, String, Double)].collect().toSet
+    // cat: 2x chase (p=ln((2/3)/(3/6))=ln(4/3)), 1x feed (ln((1/3)/(3/6))=ln(2/3)<0 dropped)
+    assert(idx.map(t => (t._1, t._2)) ===
+      Set(("cat", "nsubj-1_chase"), ("dog", "dobj-1_feed")))
+    idx.foreach(t => assert(math.abs(t._3 - math.log(4.0 / 3)) < 1e-6))
+  }
+
+  test("shared-arg bootstrap scoring") {
+    import graft.core.PathInstance
+    def pi(arg1: String, path: String, arg2: String) =
+      PathInstance("d", 0, "PERSON", "GPE", arg1, arg2, arg1, arg2, path, "r", "e")
+    val inst = spark.createDataset(Seq(
+      pi("A", "seed:path", "X"), pi("B", "seed:path", "Y"),
+      pi("A", "cand:one", "X"), // shares (A,X) with seed
+      pi("C", "cand:one", "Z"), // new pair
+      pi("C", "cand:two", "W")))
+    val rows = BootstrapStage.sharedArgScores(inst, Set("seed:path"))
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(rows === Map(
+      "cand:one" -> ((2L, 1L)), // 2 distinct pairs, 1 shared with seed
+      "cand:two" -> ((1L, 0L))))
+  }
+
+  test("P/R scorer (A15)") {
+    val key = Seq(("d1", "a", "p", "b"), ("d2", "c", "p", "d"))
+      .toDF("doc_id", "subj", "pred", "obj")
+    val resp = Seq(("d1", "a", "p", "b"), ("d3", "x", "p", "y"))
+      .toDF("doc_id", "subj", "pred", "obj")
+    val s = Export.score(key, resp).first()
+    assert(s.getLong(0) === 1L) // correct
+    assert(s.getLong(1) === 1L) // spurious
+    assert(s.getLong(2) === 1L) // missing
+    assert(s.getDouble(3) === 0.5 && s.getDouble(4) === 0.5)
+  }
+
+  test("term ranking formula (A9)") {
+    val fg = Seq(("budget", 4L, 6L)).toDF("term", "doc_freq", "total_freq")
+    val bg = Seq(("budget", 1L, 1L)).toDF("term", "doc_freq", "total_freq")
+    val r = TermsStage.rankTerms(fg, bg).first()
+    assert(math.abs(r.getDouble(3) - 4 * math.log(4.0) / 2) < 1e-5)
+  }
+}
