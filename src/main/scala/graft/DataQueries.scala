@@ -1,0 +1,258 @@
+package graft
+
+import graft.datapipe._
+import graft.pipeline.KgPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Spark-side implementations of the training-data-pipeline and
+  * general relational coverage queries (the non-KG half of the driver
+  * contract). Decimal-cast sums keep double aggregation exact and
+  * order-independent so results hash-match the DuckDB oracle. */
+object DataQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- dedup family ---
+    "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(docs(s, d))),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingCosine(emb(s, d))),
+    // --- similarity search ---
+    "ann_topk" -> ((s, d) => Ann.bruteForceTopK(emb(s, d))),
+    "ann_lsh" -> ((s, d) => Ann.lshTopK(emb(s, d))),
+    // --- text analysis ---
+    "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(docs(s, d))),
+    "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
+    "text_quality" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
+    // --- multimodal plumbing ---
+    "kg_media_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.assets(KgPipeline.corpus(s, d))).toDF()),
+    // --- relational coverage (joins / windows / set ops / json / time) ---
+    "q_join_agg" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val o = s.read.parquet(s"$d/orders.parquet")
+      val c = s.read.parquet(s"$d/customer.parquet")
+      val n = s.read.parquet(s"$d/nation.parquet")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)") *
+              (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+            .cast("double"), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+    "q_window_topk" -> ((s, d) => {
+      val o = s.read.parquet(s"$d/orders.parquet")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      o.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    }),
+    "q_anti_join" -> ((s, d) => {
+      val c = s.read.parquet(s"$d/customer.parquet")
+      val o = s.read.parquet(s"$d/orders.parquet")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "q_semi_join" -> ((s, d) => {
+      val c = s.read.parquet(s"$d/customer.parquet")
+      val o = s.read.parquet(s"$d/orders.parquet")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"))
+    }),
+    "q_events_hourly" -> ((s, d) =>
+      ev(s, d).groupBy(col("event_type"),
+          floor(col("ts").cast("timestamp").cast("long") / 3600).as("hour_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))),
+    "q_salted_events" -> ((s, d) => {
+      val df = ev(s, d).select(col("event_type"),
+        col("value").cast("decimal(18,4)").as("v"))
+      graft.functions.Salting.saltedSum(df, Seq("event_type"), "v", "total")
+        .select(col("event_type"), col("total").cast("double").as("total"))
+    }),
+    "q_distinct_users" -> ((s, d) =>
+      ev(s, d).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))),
+    "q_events_json" -> ((s, d) =>
+      ev(s, d).select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("k_sum"), max(col("k")).as("k_max"))),
+    "q_union_agg" -> ((s, d) => {
+      // union + re-aggregate (the reference's split/merge shape, A4/A5)
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val a = li.filter(col("l_linenumber") % 2 === 0)
+      val b = li.filter(col("l_linenumber") % 2 =!= 0)
+      a.unionByName(b).groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("qty"))
+    }),
+  )
+
+  val oracles: Map[String, String] = {
+    val shingleCte =
+      """WITH idx(i) AS (SELECT unnest(generate_series(1, 120)) ),
+        |w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |s AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+        |      FROM w CROSS JOIN idx WHERE i <= len(ws)-2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
+        |          FROM s a JOIN s b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)""".stripMargin
+    def jaccardSql(threshold: Double) =
+      s"""$shingleCte
+         |SELECT p.ida, p.idb, p.shared * 1.0 / (x.n + y.n - p.shared) AS jaccard
+         |FROM pairs p JOIN sz x ON p.ida = x.doc_id JOIN sz y ON p.idb = y.doc_id
+         |WHERE p.shared * 1.0 / (x.n + y.n - p.shared) >= $threshold""".stripMargin
+    val embCte =
+      """WITH u AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |         unnest(range(len(embedding))) AS i
+        |  FROM embeddings
+        |),
+        |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM u GROUP BY 1)""".stripMargin
+    Map(
+      "dedup_exact" ->
+        "SELECT md5(text) AS fp, count(*) AS cnt, min(doc_id) AS keep_id FROM documents GROUP BY 1",
+      "dedup_ngram_jaccard" -> jaccardSql(0.7),
+      // oracle valid because LSH recall at j>=0.8 with 32x3 bands is ~1-1e-10
+      "dedup_minhash" -> jaccardSql(0.8),
+      "dedup_embedding" ->
+        s"""$embCte,
+           |dots AS (
+           |  SELECT a.vec_id AS ida, b.vec_id AS idb, sum(a.v * b.v) AS dot
+           |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+           |  GROUP BY 1, 2)
+           |SELECT d.ida, d.idb
+           |FROM dots d JOIN norms x ON d.ida = x.vec_id JOIN norms y ON d.idb = y.vec_id
+           |WHERE d.dot / (x.nrm * y.nrm) >= 0.5""".stripMargin,
+      "ann_topk" ->
+        s"""$embCte,
+           |dots AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |         sum(q.v * c.v) AS dot
+           |  FROM u q JOIN u c ON q.i = c.i AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+           |  GROUP BY 1, 2),
+           |scored AS (
+           |  SELECT d.query_id, d.neighbor_id,
+           |         d.dot / (x.nrm * y.nrm) AS cos
+           |  FROM dots d JOIN norms x ON d.query_id = x.vec_id
+           |              JOIN norms y ON d.neighbor_id = y.vec_id),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+           |FROM ranked WHERE rank <= 5""".stripMargin,
+      "text_tokens" ->
+        """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+          |       length(text) AS n_chars FROM documents""".stripMargin,
+      "text_langid" ->
+        """WITH h AS (
+          |  SELECT doc_id,
+          |    len(list_filter(string_split_regex(lower(text), '\s+'),
+          |        x -> x IN ('the','a','of','and','is'))) AS en,
+          |    len(list_filter(string_split_regex(lower(text), '\s+'),
+          |        x -> x IN ('der','die','das','und','ist'))) AS de,
+          |    len(list_filter(string_split_regex(lower(text), '\s+'),
+          |        x -> x IN ('le','la','les','et','est'))) AS fr,
+          |    len(list_filter(string_split_regex(lower(text), '\s+'),
+          |        x -> x IN ('el','los','las','y','es'))) AS es
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CASE WHEN greatest(en,de,fr,es) = 0 THEN 'unk'
+          |       WHEN en = greatest(en,de,fr,es) THEN 'en'
+          |       WHEN de = greatest(en,de,fr,es) THEN 'de'
+          |       WHEN fr = greatest(en,de,fr,es) THEN 'fr'
+          |       ELSE 'es' END AS pred_lang
+          |FROM h""".stripMargin,
+      "text_quality" ->
+        """SELECT doc_id, round(
+          |  least(len(string_split_regex(trim(text), '\s+')), 50) / 50.0 * 0.5 +
+          |  (length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 /
+          |   greatest(length(text), 1)) * 0.3 +
+          |  (1.0 - len(list_filter(string_split_regex(lower(text), '\s+'),
+          |     x -> x IN ('the','a','an','of','and','or','is','to','in','on'))) * 1.0 /
+          |   greatest(len(string_split_regex(trim(text), '\s+')), 1)) * 0.2,
+          |  6) AS quality
+          |FROM documents""".stripMargin,
+      "text_fingerprint" ->
+        """SELECT doc_id,
+          |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+          |FROM documents""".stripMargin,
+      "kg_media_features" ->
+        s"""${OracleSql.baseCte},
+           |m AS (
+           |  SELECT CAST(id AS VARCHAR) AS doc_id,
+           |         'm-' || id || '-' || s AS media_ref
+           |  FROM bb WHERE (id + s) % 4 = 0),
+           |mm AS (SELECT doc_id, media_ref,
+           |              3 * length(media_ref) AS n_bytes FROM m)
+           |SELECT doc_id, media_ref, n_bytes,
+           |       CAST(16 * (1 + n_bytes % 40) AS INT) AS width,
+           |       CAST(16 * (1 + (n_bytes * 3) % 30) AS INT) AS height,
+           |       'img' AS format
+           |FROM mm""".stripMargin,
+      "q_join_agg" ->
+        """SELECT n_name,
+          |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          |        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+          |        AS DOUBLE), 2) AS revenue,
+          |  count(*) AS n_items
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY 1""".stripMargin,
+      "q_window_topk" ->
+        """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |         row_number() OVER (PARTITION BY o_custkey
+          |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |  FROM orders) WHERE rn <= 3""".stripMargin,
+      "q_anti_join" ->
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+      "q_semi_join" ->
+        """SELECT c_custkey FROM customer
+          |WHERE c_custkey IN (SELECT o_custkey FROM orders)""".stripMargin,
+      "q_events_hourly" ->
+        """SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+          |FROM events GROUP BY 1, 2""".stripMargin,
+      "q_salted_events" ->
+        """SELECT event_type,
+          |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+          |FROM events GROUP BY 1""".stripMargin,
+      "q_distinct_users" ->
+        "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
+      "q_events_json" ->
+        """SELECT event_type,
+          |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+          |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+          |FROM events GROUP BY 1""".stripMargin,
+      "q_union_agg" ->
+        """SELECT l_returnflag,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+          |FROM lineitem GROUP BY 1""".stripMargin,
+      // dedup_simhash / ann_lsh: approximate operators, no SQL oracle
+      // (driver records rows-only); recall vs brute force asserted in
+      // DatapipeSpec.
+    )
+  }
+}

@@ -17,7 +17,8 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     KgPipeline.triples(spark, "/root/testdata/sf0.001").toDF()
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val kg: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_triples" -> ((s, dir) => KgPipeline.triples(s, dir).toDF()),
     "kg_path_types" -> ((s, dir) =>
       graft.operators.DepPathsStage.pathTypesTable(KgPipeline.instances(s, dir))),
@@ -42,7 +43,9 @@ object SparkEntry {
           sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_price"),
           count(lit(1)).as("count_order"))
     }),
-  )
+    )
+    kg ++ DataQueries.queries
+  }
 
   def oracleSql: Map[String, String] = Map(
     "kg_triples" -> OracleSql.kgTriples,
@@ -64,5 +67,5 @@ object SparkEntry {
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
       count(*) AS count_order
       FROM lineitem GROUP BY 1, 2""",
-  )
+  ) ++ DataQueries.oracles
 }

@@ -1,0 +1,182 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.hashing.MurmurHash3
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design notes:
+  *  - exact dedup groups by a 128-bit text fingerprint, not the text,
+  *    so the shuffle carries 16 bytes/row instead of documents
+  *  - n-gram Jaccard explodes shingles and self-joins on the shingle —
+  *    correct but O(candidate pairs); it is the verification oracle
+  *  - MinHash LSH is the scale path: 96 hashes → 32 bands × 3 rows,
+  *    candidates = pairs sharing a band bucket, then exact-Jaccard
+  *    verification of candidates only. Band buckets distribute the
+  *    join; hot buckets are bounded by the band width.
+  *  - SimHash covers hamming-distance near-dups with 4×16-bit band
+  *    blocking.
+  */
+object Dedup {
+
+  private def words(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Distinct word n-gram shingles per doc: (doc_id, gram). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val w = docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= n)
+    w.select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("ws")) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(col("ws"), i + k + 1)): _*)))
+        .as("gram"))
+      .distinct()
+  }
+
+  /** Exact dedup: fingerprint → (count, representative doc). */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keep_id"))
+
+  /** All pairs with n-gram Jaccard >= threshold (brute shingle join). */
+  def ngramJaccard(docs: DataFrame, n: Int = 3,
+                   threshold: Double = 0.7): DataFrame = {
+    val s = shingles(docs, n)
+    val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = s.as("a").join(s.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("ida"), col("sz").as("na")), "ida")
+      .join(sizes.select(col("doc_id").as("idb"), col("sz").as("nb")), "idb")
+      .withColumn("jaccard",
+        col("shared") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ida"), col("idb"), col("jaccard"))
+  }
+
+  // --- MinHash LSH ---------------------------------------------------------
+
+  val NumHashes = 96
+  val Bands = 32 // 3 rows per band; detect prob at j=0.8 ≈ 1 - 1e-10
+  private val Prime = 2305843009213693951L // 2^61 - 1
+  private val hashParams: Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(NumHashes)((math.abs(rnd.nextLong()) % Prime + 1,
+      math.abs(rnd.nextLong()) % Prime))
+  }
+
+  /** MinHash signature of a shingle set (deterministic, MurmurHash3 base). */
+  def signature(grams: Iterable[String]): Array[Long] = {
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    grams.foreach { g =>
+      val x = (MurmurHash3.stringHash(g).toLong & 0xffffffffL) + 1
+      var i = 0
+      while (i < NumHashes) {
+        val (a, b) = hashParams(i)
+        // multiply in BigInt-free 128-safe form: values < 2^61, x < 2^32
+        val h = (a % Prime) * x % Prime + b
+        val v = h % Prime
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Candidate pairs via band buckets, verified with exact Jaccard.
+    * Returns the same schema as [[ngramJaccard]]; on any input where
+    * the LSH recall holds (see DatapipeSpec) the results are equal. */
+  def minhashLsh(docs: DataFrame, n: Int = 3,
+                 threshold: Double = 0.8): DataFrame = {
+    val s = shingles(docs, n)
+    val rows = NumHashes / Bands
+    val sigUdf = udf((grams: Seq[String]) => signature(grams))
+    val sigs = s.groupBy(col("doc_id"))
+      .agg(collect_list(col("gram")).as("grams"))
+      .select(col("doc_id"), sigUdf(col("grams")).as("sig"))
+    // band key = (band index, hash of the band's rows)
+    val banded = sigs.select(col("doc_id"), posexplode(
+      transform(sequence(lit(0), lit(Bands - 1)),
+        b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b)))
+      .as(Seq("band", "bkey")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+    // exact-verify candidates only
+    val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val shared = s.select(col("doc_id").as("ida"), col("gram"))
+      .join(cand, "ida")
+      .join(s.select(col("doc_id").as("idb"), col("gram")), Seq("idb", "gram"))
+      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("ida"), col("sz").as("na")), "ida")
+      .join(sizes.select(col("doc_id").as("idb"), col("sz").as("nb")), "idb")
+      .withColumn("jaccard",
+        col("shared") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ida"), col("idb"), col("jaccard"))
+  }
+
+  // --- SimHash -------------------------------------------------------------
+
+  /** 64-bit SimHash over word hashes. */
+  def simhash(tokens: Iterable[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h1 = MurmurHash3.stringHash(t, 0x9747b28c)
+      val h2 = MurmurHash3.stringHash(t, 0x5bd1e995)
+      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        i += 1
+      }
+    }
+    acc.indices.foldLeft(0L)((v, i) => if (acc(i) > 0) v | (1L << i) else v)
+  }
+
+  /** Near-dup pairs with simhash hamming distance <= maxDist, blocked on
+    * 4 x 16-bit bands (a pair within distance 3 must agree on at least
+    * one band). */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = udf((t: String) => simhash(t.trim.split("\\s+").toSeq))
+    val sigs = docs.select(col("doc_id"), sh(col("text")).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"), posexplode(
+      array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+      .as(Seq("band", "bkey")))
+    val popcnt = udf((x: Long) => java.lang.Long.bitCount(x))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+        popcnt(col("a.sig").bitwiseXOR(col("b.sig"))).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Embedding near-dup pairs: cosine >= threshold over a self-join.
+    * Brute-force baseline; the LSH-bucketed scale path is in
+    * [[graft.datapipe.Ann]]. */
+  def embeddingCosine(emb: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val v = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val withNorm = v.withColumn("nrm",
+      sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), _ + _)))
+    val dot = aggregate(
+      zip_with(col("a.v"), col("b.v"), _ * _), lit(0.0), _ + _)
+    withNorm.as("a").join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
+        (dot / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("ida"), col("idb"))
+  }
+}

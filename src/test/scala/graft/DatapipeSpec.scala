@@ -1,0 +1,76 @@
+package graft
+
+import graft.datapipe._
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators: approximate methods are held to
+  * their exact brute-force baselines on the small scale factors. */
+class DatapipeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("minhash LSH finds exactly the brute-force near-dup pairs (recall 1.0 here)") {
+    val brute = Dedup.ngramJaccard(docs, threshold = 0.8)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(docs, threshold = 0.8)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(lsh === brute)
+    assert(brute.nonEmpty, "fixture should contain near-dup pairs")
+  }
+
+  test("simhash banding finds all pairs within hamming distance 3") {
+    // brute force over all pairs via the same simhash signature
+    val sigs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().map { case (id, t) => (id, Dedup.simhash(t.trim.split("\\s+").toSeq)) }
+    val brute = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs if ida < idb
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ida, idb)).toSet
+    val banded = Dedup.simhashPairs(docs)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty, "exact duplicates must collide")
+  }
+
+  test("ann LSH neighbors within a query's bucket agree with brute force ranks") {
+    // rank every corpus vector so each LSH neighbor has a true rank
+    val brute = Ann.bruteForceTopK(emb, k = 1000, nQueries = 5)
+      .as[(Long, Long, Int)].collect()
+      .map { case (q, nb, r) => (q, nb) -> r }.toMap
+    val lsh = Ann.lshTopK(emb, k = 5, nQueries = 5, bits = 4)
+      .as[(Long, Long, Int)].collect()
+    assert(lsh.nonEmpty)
+    // within each query, LSH's local ranking must follow the true ranking
+    lsh.groupBy(_._1).foreach { case (q, rows) =>
+      val trueRanks = rows.sortBy(_._3).map(r => brute((q, r._2))).toSeq
+      assert(trueRanks === trueRanks.sorted,
+        s"query $q: LSH order disagrees with brute force")
+    }
+  }
+
+  test("multimodal: media assets carry binary payloads; batched decode is deterministic") {
+    val corpus = graft.pipeline.KgPipeline.corpus(spark, dir)
+    val assets = Multimodal.assets(corpus)
+    val feats = Multimodal.extractFeatures(assets).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.n_bytes === 3L * f.media_ref.length)
+      val (w, h, fmt) = Multimodal.decodeStub(Multimodal.payloadFor(f.media_ref))
+      assert((f.width, f.height, f.format) === ((w, h, fmt)))
+    }
+  }
+
+  test("rolling hash is order-sensitive and deterministic") {
+    val a = TextAnalysis.rollingHash(Seq("a", "b", "c"))
+    assert(a === TextAnalysis.rollingHash(Seq("a", "b", "c")))
+    assert(a !== TextAnalysis.rollingHash(Seq("c", "b", "a")))
+  }
+
+  test("exact dedup keeps one representative per duplicate group") {
+    val d = Dedup.exact(docs)
+    assert(d.agg(sum("cnt")).first().getLong(0) === docs.count())
+  }
+}

@@ -30,6 +30,8 @@ for q, sql in sorted(oracle.items()):
         ok = False; continue
     if len(sp) != len(du):
         print(f"{q}: ROWS {len(sp)} vs {len(du)}"); ok = False; continue
+    if len(sp) == 0:
+        print(f"{q}: OK rows=0 (empty both sides)"); continue
     sps = sp.astype(str).apply(lambda r: "\x01".join(r), axis=1).sort_values().tolist()
     dus = du.astype(str).apply(lambda r: "\x01".join(r), axis=1).sort_values().tolist()
     if sps != dus:
