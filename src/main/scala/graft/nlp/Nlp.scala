@@ -196,6 +196,60 @@ object Nlp {
     }.toVector
   }
 
+  // --- number / time / money tagging (F12, IcePreprocessor.java:572-658) --
+
+  /** Multiplier word table. The reference maps million→10000 (sic — a
+    * bug in IcePreprocessor.java:653-658 kept deliberately for parity,
+    * SURVEY.md §7 risk 4). */
+  val illions: Map[String, Long] =
+    Map("thousand" -> 1000L, "million" -> 10000L, "billion" -> 100000L)
+
+  private val weekdays = Set("monday", "tuesday", "wednesday", "thursday",
+    "friday", "saturday", "sunday", "yesterday", "today", "tomorrow")
+
+  /** Tag NUMBER / MONEY / TIME value mentions over a token sequence:
+    * `$` + number (+ optional illion) → MONEY with merged span; number +
+    * illion → NUMBER; weekday/deictic words → TIME. Returns Name rows
+    * whose `canonical` carries the normalized numeric value. */
+  def tagValues(tokens: Vector[Token]): Vector[Name] = {
+    val out = Vector.newBuilder[Name]
+    var i = 0
+    def numAt(j: Int): Option[Long] =
+      if (j < tokens.length && tokens(j).pos == "CD") Some(tokens(j).word.toLong)
+      else None
+    def illionAt(j: Int): Option[Long] =
+      if (j < tokens.length) illions.get(tokens(j).word.toLowerCase) else None
+    while (i < tokens.length) {
+      val w = tokens(i).word
+      if (w == "$" && numAt(i + 1).isDefined) {
+        val base = numAt(i + 1).get
+        val (mult, end) = illionAt(i + 2) match {
+          case Some(m) => (m, i + 3)
+          case None => (1L, i + 2)
+        }
+        out += Name(i, end, end - 1, "MONEY", tokens.slice(i, end).map(_.word).mkString(" "),
+          (base * mult).toString)
+        i = end
+      } else if (numAt(i).isDefined && illionAt(i + 1).isDefined) {
+        val v = numAt(i).get * illionAt(i + 1).get
+        out += Name(i, i + 2, i + 1, "NUMBER",
+          tokens(i).word + " " + tokens(i + 1).word, v.toString)
+        i += 2
+      } else if (weekdays(w.toLowerCase)) {
+        out += Name(i, i + 1, i, "TIME", w, w.toLowerCase)
+        i += 1
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** Crossing-annotation guard (F11, IcePreprocessor.java:692-698):
+    * reject candidate spans that cross (partially overlap) an existing
+    * span; nesting and disjointness are allowed. */
+  def crosses(aStart: Int, aEnd: Int, bStart: Int, bEnd: Int): Boolean =
+    (aStart < bStart && aEnd > bStart && aEnd < bEnd) ||
+      (bStart < aStart && bEnd > aStart && bEnd < aEnd)
+
   /** Full per-sentence analysis. */
   def analyze(text: String, offset: Int): Sentence = {
     val toks = tokenize(text)
