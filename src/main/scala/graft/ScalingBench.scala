@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.{Canonicalize, DepPathsStage, Preprocess, TaggerStage}
+import graft.pipeline.KgPipeline
+import graft.sources.Gen
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-efficiency harness (BASELINE.json north rule: throughput
+  * scaling efficiency >= 0.8 from N to 4N executors).
+  *
+  * No real cluster exists in this sandbox, so the criterion is evidenced
+  * by running the IDENTICAL end-to-end job — synthetic interleaved
+  * corpus → preprocess → dep-path mining → seed-rule resolution →
+  * tagging → canonicalization → materialized triple parquet — at two
+  * local parallelism levels (e.g. `SPARK_GRAFT_CPUS=8` then `=32`) on
+  * the same input size and comparing docs/sec and triples/sec.
+  * Efficiency = (thr_4N / thr_N) / 4.
+  *
+  * Run (one JVM per level — the local master is fixed per session),
+  * via spark-submit after `sbt package`:
+  *   /opt/spark/bin/spark-submit --master local[8]  --class graft.ScalingBench <jar>
+  *   /opt/spark/bin/spark-submit --master local[32] --class graft.ScalingBench <jar>
+  * (or `SPARK_GRAFT_CPUS=8 sbt "runMain graft.ScalingBench"`). Each
+  * prints one JSON line; results are recorded in BASELINE.md.
+  */
+object ScalingBench {
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_NDOCS", "8000000").toLong
+    // doc-id slice for multi-executor runs: 4N executors = 4 concurrent
+    // JVMs, each local[N], each owning a quarter of the id range (the
+    // role a cluster manager's partition assignment plays)
+    val docStart = sys.env.getOrElse("SPARK_GRAFT_DOC_START", "0").toLong
+    val builder = SparkSession.builder()
+      .appName("graft-scaling")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    // spark-submit supplies --master; standalone runs fall back to env
+    val spark = (if (sys.props.contains("spark.master")) builder
+      else builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
+      .getOrCreate()
+    val cpus = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    val out = sys.env.getOrElse("SPARK_GRAFT_OUT", s"/tmp/graft-scaling-$cpus")
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // deterministic synthetic interleaved corpus, partitioned to the
+    // parallelism level (identical rows at any level)
+    def corpus = spark.range(docStart, docStart + nDocs, 1, cpus * 4)
+      .as[Long].map(Gen.doc _)
+
+    // warmup: JIT + codegen caches, small slice, not timed
+    TaggerStage.triples(
+      DepPathsStage.instances(Preprocess.annotate(
+        spark.range(0, 2000, 1, cpus).as[Long].map(Gen.doc _))),
+      Nil).count()
+
+    def phase[T](label: String)(f: => T): T = {
+      val p0 = System.nanoTime(); val r = f
+      System.err.println(f"PHASE $label ${(System.nanoTime() - p0) / 1e9}%.2f s")
+      r
+    }
+
+    val t0 = System.nanoTime()
+    // the production pipeline shape (KgPipeline.runAll): each stage
+    // writes a parquet table checkpoint and the next stage reads it —
+    // one pass through NLP + path mining total, exactly as the real
+    // deployment would commit Iceberg snapshots between stages
+    import graft.core.{PathInstance, Triple}
+    phase("mine") {
+      DepPathsStage.instances(Preprocess.annotate(corpus))
+        .write.mode("overwrite").parquet(s"$out/instances")
+    }
+    val instances = spark.read.parquet(s"$out/instances").as[PathInstance]
+    val rules = phase("rules") {
+      TaggerStage.rulesFromSeeds(spark,
+        DepPathsStage.pathReprTable(instances), KgPipeline.seedPhrases)
+    }
+    phase("tag") {
+      TaggerStage.triples(instances, rules)
+        .write.mode("overwrite").parquet(s"$out/triples")
+    }
+    val canon = phase("canonicalize") {
+      Canonicalize.canonicalTriples(
+        spark.read.parquet(s"$out/triples").as[Triple], graft.nlp.Nlp.gpeCanonical,
+        materialized = true)
+    }
+    phase("materialize") { canon.write.mode("overwrite").parquet(s"$out/canon") }
+    val sec = (System.nanoTime() - t0) / 1e9
+    val nTriples = spark.read.parquet(s"$out/canon").count()
+
+    // the headline metric's subject — extraction proper (corpus → NLP →
+    // path mining → rule tagging, one fused narrow stage, no
+    // materialization): timed separately from the end-to-end pipeline
+    val e0 = System.nanoTime()
+    val nExtract = TaggerStage.triples(
+      DepPathsStage.instances(Preprocess.annotate(corpus)), rules).count()
+    val extractSec = (System.nanoTime() - e0) / 1e9
+
+    val docsPerSec = nDocs / sec
+    val triplesPerSec = nTriples / sec
+    val extractPerSec = nExtract / extractSec
+    println(f"""{"metric":"triples_per_sec","value":$extractPerSec%.1f,"unit":"rows/sec","cpus":$cpus,"docs":$nDocs,"triples":$nTriples,"extract_sec":$extractSec%.2f,"pipeline_sec":$sec%.2f,"pipeline_triples_per_sec":$triplesPerSec%.1f,"docs_per_sec":$docsPerSec%.1f}""")
+    spark.stop()
+  }
+}

@@ -163,20 +163,35 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
-  /** Embedding near-dup pairs: cosine >= threshold over a self-join.
-    * Brute-force baseline; the LSH-bucketed scale path is in
+  /** Embedding near-dup pairs: cosine >= threshold over all pairs.
+    * Brute-force baseline: one side is broadcast as a normalized
+    * primitive matrix (the same memory contract as a broadcast-hash
+    * join), the other stays distributed — each row scans the broadcast
+    * side with a tight primitive-array dot product instead of a
+    * nested-loop join over per-row array expressions. Valid while one
+    * side fits in executor memory; the LSH-bucketed scale path is in
     * [[graft.datapipe.Ann]]. */
   def embeddingCosine(emb: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val v = emb.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-    val withNorm = v.withColumn("nrm",
-      sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), _ + _)))
-    val dot = aggregate(
-      zip_with(col("a.v"), col("b.v"), _ * _), lit(0.0), _ + _)
-    withNorm.as("a").join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
-        (dot / (col("a.nrm") * col("b.nrm"))).as("cos"))
-      .filter(col("cos") >= threshold)
-      .select(col("ida"), col("idb"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id").cast("long"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, Array[Double])]
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.foldLeft(0.0)((s, x) => s + x * x))
+      if (n == 0) v else v.map(_ / n)
+    }
+    val bc = spark.sparkContext.broadcast(
+      vecs.collect().map { case (id, v) => (id, unit(v)) }.sortBy(_._1))
+    vecs.flatMap { case (ida, va0) =>
+      val va = unit(va0)
+      val arr = bc.value
+      arr.iterator.filter(_._1 > ida).flatMap { case (idb, vb) =>
+        var s = 0.0
+        var k = 0
+        while (k < va.length) { s += va(k) * vb(k); k += 1 }
+        if (s >= threshold) Some((ida, idb)) else None
+      }
+    }.toDF("ida", "idb")
   }
 }

@@ -36,49 +36,100 @@ object Paths {
     text.length <= MaxSentenceChars &&
       !text.exists(c => "()[]{}\"".contains(c))
 
-  /** One BFS step: (neighbor token, label, word of neighbor). */
-  private final case class Edge(to: Int, label: String)
-
-  /** Shortest dependency path from token `from` to token `to`, avoiding
-    * the head tokens of other mentions (`blocked`), over arcs + their
-    * inverses (`label-1`, DepPaths.java:250-251). Returns the node/label
-    * sequence or None. */
-  def bfs(deps: Seq[Dep], from: Int, to: Int, blocked: Set[Int])
-      : Option[(Vector[Int], Vector[String])] = {
-    if (from == to) return None
-    val adj = mutable.Map.empty[Int, mutable.ArrayBuffer[Edge]]
-    def add(s: Int, t: Int, l: String): Unit =
-      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += Edge(t, l)
-    deps.foreach { d =>
-      if (!disallowed(d.dep)) add(d.srcPos, d.tgtPos, d.dep)
-      if (!disallowed(d.dep + "-1")) add(d.tgtPos, d.srcPos, d.dep + "-1")
-    }
-    val prev = mutable.Map.empty[Int, (Int, String)]
-    val seen = mutable.Set(from)
-    var frontier = List(from)
-    var found = false
-    while (frontier.nonEmpty && !found) {
-      val next = mutable.ListBuffer.empty[Int]
-      for (n <- frontier; e <- adj.getOrElse(n, Nil)) {
-        if (!seen(e.to) && (e.to == to || !blocked(e.to))) {
-          seen += e.to
-          prev(e.to) = (n, e.label)
-          if (e.to == to) found = true else next += e.to
+  /** Sentence-local dependency graph in flat int-indexed form: arcs +
+    * inverses (`label-1`, DepPaths.java:250-251) grouped by source node.
+    * Built ONCE per sentence and reused across all mention pairs — the
+    * BFS below is the pipeline's hottest code (millions of calls per
+    * partition), so it runs on primitive arrays with no per-call
+    * allocation beyond the result. */
+  final class SentGraph(val n: Int, deps: Seq[Dep]) {
+    // CSR-style adjacency: offsets(v) .. offsets(v+1) index into to/label
+    val (offsets, to, label) = {
+      val cnt = new Array[Int](n + 1)
+      deps.foreach { d =>
+        if (d.srcPos < n && d.tgtPos < n) {
+          if (!disallowed(d.dep)) cnt(d.srcPos) += 1
+          if (!disallowed(d.dep + "-1")) cnt(d.tgtPos) += 1
         }
       }
-      frontier = next.toList
+      val off = new Array[Int](n + 1)
+      var i = 0
+      while (i < n) { off(i + 1) = off(i) + cnt(i); i += 1 }
+      val pos = off.clone()
+      val t = new Array[Int](off(n))
+      val l = new Array[String](off(n))
+      deps.foreach { d =>
+        if (d.srcPos < n && d.tgtPos < n) {
+          if (!disallowed(d.dep)) {
+            t(pos(d.srcPos)) = d.tgtPos; l(pos(d.srcPos)) = d.dep
+            pos(d.srcPos) += 1
+          }
+          if (!disallowed(d.dep + "-1")) {
+            t(pos(d.tgtPos)) = d.srcPos; l(pos(d.tgtPos)) = d.dep + "-1"
+            pos(d.tgtPos) += 1
+          }
+        }
+      }
+      (off, t, l)
+    }
+  }
+
+  def buildGraph(deps: Seq[Dep], nTokens: Int): SentGraph =
+    new SentGraph(nTokens, deps)
+
+  /** Shortest dependency path from token `from` to token `to` over a
+    * prebuilt sentence graph, avoiding the head tokens of other mentions
+    * (`blocked`, indexed by token). Array-based BFS: queue, seen and
+    * parent pointers are primitive arrays sized to the sentence. */
+  def bfsGraph(g: SentGraph, from: Int, to: Int, blocked: Array[Boolean])
+      : Option[(Vector[Int], Vector[String])] = {
+    if (from == to || from >= g.n || to >= g.n) return None
+    val prevNode = new Array[Int](g.n)
+    val prevEdge = new Array[Int](g.n)
+    val seen = new Array[Boolean](g.n)
+    val queue = new Array[Int](g.n)
+    var qh = 0; var qt = 0
+    seen(from) = true
+    queue(qt) = from; qt += 1
+    var found = false
+    while (qh < qt && !found) {
+      val v = queue(qh); qh += 1
+      var e = g.offsets(v)
+      val end = g.offsets(v + 1)
+      while (e < end && !found) {
+        val w = g.to(e)
+        if (!seen(w) && (w == to || !blocked(w))) {
+          seen(w) = true
+          prevNode(w) = v
+          prevEdge(w) = e
+          if (w == to) found = true
+          else { queue(qt) = w; qt += 1 }
+        }
+        e += 1
+      }
     }
     if (!found) None
     else {
       var nodes = List(to)
       var labels = List.empty[String]
       while (nodes.head != from) {
-        val (p, l) = prev(nodes.head)
-        labels = l :: labels
-        nodes = p :: nodes
+        val h = nodes.head
+        labels = g.label(prevEdge(h)) :: labels
+        nodes = prevNode(h) :: nodes
       }
       Some((nodes.toVector, labels.toVector))
     }
+  }
+
+  /** Convenience single-shot BFS (tests, non-hot callers): builds the
+    * sentence graph and a blocked array, then delegates to [[bfsGraph]]. */
+  def bfs(deps: Seq[Dep], from: Int, to: Int, blocked: Set[Int])
+      : Option[(Vector[Int], Vector[String])] = {
+    val n = (deps.iterator.flatMap(d => Iterator(d.srcPos, d.tgtPos)) ++
+      Iterator(from, to)).max + 1
+    val blockedArr = new Array[Boolean](n)
+    blocked.foreach(b => if (b < n) blockedArr(b) = true)
+    bfsGraph(buildGraph(deps, n), from, to, blockedArr)
   }
 
   /** Render the path string `label1:word1:label2:word2:...:labelk` with

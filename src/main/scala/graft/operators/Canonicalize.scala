@@ -21,11 +21,15 @@ object Canonicalize {
     * (lexicographic for strings). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = edges.sparkSession
+    // checkpointed once: the loop below re-reads the edge set every
+    // iteration, and without truncation it would drag the (possibly
+    // expensive) upstream plan along each time
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .union(edges.select(col("src"), col("src").as("dst")))
       .union(edges.select(col("dst").as("src"), col("dst")))
       .distinct()
+      .localCheckpoint()
     // labels: node -> current component candidate (min neighbor incl. self)
     var labels = sym.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("comp"))
@@ -33,18 +37,21 @@ object Canonicalize {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      // propagate: node's new comp = min over neighbors' comps and own
+      // propagate: node's new comp = min over neighbors' comps and own.
+      // The convergence flag rides along in the same pass (one
+      // checkpoint job + one tiny agg per iteration, no extra join).
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("comp")).as("new_comp"))
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("new_comp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("new_comp"), col("comp"))).as("comp"),
+          (coalesce(col("new_comp"), col("comp")) < col("comp"))
+            .cast("long").as("chg"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
-        .filter(col("comp") =!= col("old")).count()
-      labels = next
+      changed = next.agg(coalesce(sum(col("chg")), lit(0L))).first().getLong(0)
+      labels = next.drop("chg")
       iter += 1
     }
     labels
@@ -69,16 +76,18 @@ object Canonicalize {
 
   /** Rewrite triples with canonical entity ids (component minimum —
     * canonical forms sort before their aliases by construction). */
+  /** @param materialized pass true when `triples` is already a committed
+    *   table scan (cheap to re-read) — skips the localCheckpoint that is
+    *   otherwise needed to avoid recomputing the whole extraction chain
+    *   on both sides of the component join (and to avoid a Spark codegen
+    *   fault when the same object-typed subplan appears twice in one
+    *   physical plan). */
   def canonicalTriples(triples: Dataset[Triple],
-                       gazetteer: Map[String, String]): Dataset[CanonTriple] = {
+                       gazetteer: Map[String, String],
+                       materialized: Boolean = false): Dataset[CanonTriple] = {
     val spark = triples.sparkSession
     import spark.implicits._
-    // Materialize the triple table once before reusing it on both sides
-    // of the component join (in the full pipeline this is the committed
-    // `triples` snapshot). Also works around a Spark codegen fault when
-    // the same object-typed (Dataset-map) subplan appears twice in one
-    // physical plan.
-    val tri = triples.toDF().localCheckpoint()
+    val tri = if (materialized) triples.toDF() else triples.toDF().localCheckpoint()
     val comps = connectedComponents(
       aliasEdges(tri.as[Triple], gazetteer))
     val bySubj = comps.select(col("id").as("subj"), col("comp").as("canonical_subj"))

@@ -34,21 +34,30 @@ object DepPathsStage {
         .flatMap { case (sent, si) =>
           val deps = sent.deps.toVector
           val transformed = Nlp.transform(deps)
-          val heads = sent.names.map(_.head).toSet
-          Paths.mentionPairs(sent.names).iterator.flatMap { case (m1, m2) =>
-            val blocked = heads - m1.head - m2.head
+          val n = sent.tokens.length
+          // sentence graphs + blocked mask built once, shared by all
+          // mention pairs (the BFS is the pipeline's hottest code)
+          val gT = Paths.buildGraph(transformed, n)
+          val gO = Paths.buildGraph(deps, n)
+          val blocked = new Array[Boolean](n)
+          sent.names.foreach(m => if (m.head < n) blocked(m.head) = true)
+          val out = Vector.newBuilder[PathInstance]
+          Paths.mentionPairs(sent.names).foreach { case (m1, m2) =>
+            blocked(m1.head) = false; blocked(m2.head) = false
             for {
-              (tNodes, tLabels) <- Paths.bfs(transformed, m1.head, m2.head, blocked)
-              (oNodes, oLabels) <- Paths.bfs(deps, m1.head, m2.head, blocked)
+              (tNodes, tLabels) <- Paths.bfsGraph(gT, m1.head, m2.head, blocked)
+              (oNodes, oLabels) <- Paths.bfsGraph(gO, m1.head, m2.head, blocked)
               path = Paths.regularize(Paths.pathString(sent, tNodes, tLabels))
               if Paths.arcCount(path) <= Paths.MaxPathArcs
-            } yield {
+            } {
               val (t1, t2) = typedKey(m1.etype, m2.etype)
               val repr = Paths.linearize(sent, oNodes, oLabels, m1.etype, m2.etype)
-              PathInstance(doc.doc_id, si, t1, t2, m1.surface, m2.surface,
+              out += PathInstance(doc.doc_id, si, t1, t2, m1.surface, m2.surface,
                 m1.canonical, m2.canonical, path, repr, sent.text)
             }
+            blocked(m1.head) = true; blocked(m2.head) = true
           }
+          out.result()
         }
     }
   }

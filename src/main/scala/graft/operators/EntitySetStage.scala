@@ -46,8 +46,12 @@ object EntitySetStage {
     * built-in aggs: one count matrix, two marginals joined back. PMI
     * rounded to 6 dp for cross-engine comparability. */
   def entityIndex(events: DataFrame): DataFrame = {
+    // persisted: consumed four times below (two marginals, the N scalar
+    // action, and the final join) — otherwise the upstream NLP + flatMap
+    // chain re-executes for each
     val cells = events.groupBy(col("term"), col("context"))
       .agg(count(lit(1)).as("cnt"))
+      .persist()
     val rowTotals = cells.groupBy(col("term"))
       .agg(sum(col("cnt")).as("row_total"))
     val ctxTotals = cells.groupBy(col("context"))

@@ -46,7 +46,11 @@ object KgPipeline {
     "diedIn" -> "person died in gpe")
 
   def triples(spark: SparkSession, sfDir: String): Dataset[Triple] = {
-    val inst = instances(spark, sfDir)
+    // persist: the instance table feeds both the seed-rule resolution
+    // (an eager collect) and the tagging flatMap — without it the whole
+    // NLP + path-mining chain runs once per downstream action. persist
+    // (not localCheckpoint) keeps lineage for executor-loss recompute.
+    val inst = instances(spark, sfDir).persist()
     val repr = DepPathsStage.pathReprTable(inst)
     val rules = TaggerStage.rulesFromSeeds(spark, repr, seedPhrases)
     TaggerStage.triples(inst, rules)
@@ -81,9 +85,12 @@ object KgPipeline {
   def entityIndex(spark: SparkSession, sfDir: String): DataFrame =
     EntitySetStage.entityIndex(depEvents(spark, sfDir))
 
-  /** Entity-set expansion from two noun seeds (EntitySetExpander flow). */
+  /** Entity-set expansion from two noun seeds (EntitySetExpander flow).
+    * The PMI index is persisted: expand() takes two passes over it (seed
+    * centroid collect + scoring), and the index itself takes two
+    * (marginals + N) — persisting cuts four NLP recomputations to one. */
   def entityExpansion(spark: SparkSession, sfDir: String): DataFrame =
-    EntitySetStage.expand(spark, entityIndex(spark, sfDir),
+    EntitySetStage.expand(spark, entityIndex(spark, sfDir).persist(),
       seeds = Set(Gen.fillNouns(0), Gen.fillNouns(1)))
 
   /** Bootstrap shared-arg candidate scores, seeded with the livesIn

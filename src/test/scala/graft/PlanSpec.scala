@@ -1,0 +1,72 @@
+package graft
+
+import graft.pipeline.KgPipeline
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: the scale properties the design depends on
+  * must be visible in the plan, not assumed — broadcast joins for
+  * dimension lookups, filter/column pushdown into parquet scans, and no
+  * shuffle in the narrow extraction pipeline. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q_join_agg broadcasts the nation dimension") {
+    val p = plan(SparkEntry.queries("q_join_agg")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("text_tokens reads only the projected columns") {
+    val p = plan(SparkEntry.queries("text_tokens")(spark, dir))
+    // ReadSchema must not include unused columns (lang, source, n_chars
+    // is computed from text, so schema = doc_id + text)
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("doc_id") && read.contains("text"))
+    assert(!read.contains("lang") && !read.contains("source"))
+  }
+
+  test("filter on lineitem pushes into the parquet scan") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") > 30)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val p = plan(df)
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(l_quantity"))
+  }
+
+  test("triple extraction is shuffle-free (narrow map pipeline)") {
+    // corpus → preprocess → path mining → broadcast-rule tagging must
+    // plan as a single narrow stage: no Exchange anywhere
+    val rules = KgPipeline.rules(spark, dir)
+    import spark.implicits._
+    val docs = spark.createDataset((0L until 10L).map(graft.sources.Gen.doc))
+    val p = plan(graft.streaming.IncrementalIngest.tagBatch(docs, rules).toDF())
+    assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
+  }
+
+  test("path-type counts do exactly two shuffles (salted two-phase agg)") {
+    val inst = graft.operators.DepPathsStage.instances(
+      KgPipeline.annotated(spark, dir))
+    val p = plan(graft.operators.DepPathsStage.pathTypesTable(inst))
+    // formatted explain shows each node twice (tree + detail header);
+    // count only the "(n) Exchange" detail headers
+    val exchanges = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges === 2, s"expected 2 exchanges, got $exchanges:\n$p")
+  }
+
+  test("seed-rule resolution join broadcasts the seed side") {
+    val inst = graft.operators.DepPathsStage.instances(
+      KgPipeline.annotated(spark, dir))
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val seedDf = KgPipeline.seedPhrases.toSeq.toDF("relName", "seedRepr")
+    val joined = graft.operators.DepPathsStage.pathReprTable(inst)
+      .join(org.apache.spark.sql.functions.broadcast(seedDf),
+        col("repr") === col("seedRepr"))
+    assert(plan(joined).contains("BroadcastHashJoin"))
+  }
+}
