@@ -196,6 +196,38 @@ object Nlp {
     }.toVector
   }
 
+  // --- term/seed filters (F8/F9) -------------------------------------------
+
+  /** F8 (TermCounter.java:186-197): drop name terms that are too short
+    * (≤ 5 chars including the `/nnp` suffix) or not letter-initial. */
+  def nameTermAllowed(term: String): Boolean =
+    term.length > 5 && term.headOption.exists(_.isLetter)
+
+  /** F9 (EntitySetExpander.java:86-112): exclude seed candidates that
+    * are derivational nouns (-tion, -ment), URLs/emails, capitalized, or
+    * already in the set / previously suggested. */
+  def seedCandidateAllowed(term: String, inSet: Set[String],
+                           suggested: Set[String]): Boolean =
+    !term.endsWith("tion") && !term.endsWith("ment") &&
+      !term.startsWith("www.") && !term.contains("@") &&
+      !term.startsWith("http") &&
+      term.headOption.exists(c => !c.isUpper) &&
+      !inSet(term) && !suggested(term)
+
+  /** F5 (DepPaths.java:272-280): bucket Penn tags → {nnp, nn, vb, o}
+    * for ngram-event rendering. */
+  def normalizePos(pos: String): String =
+    if (pos.startsWith("NNP")) "nnp"
+    else if (pos.startsWith("NN")) "nn"
+    else if (pos.startsWith("VB")) "vb"
+    else "o"
+
+  /** F6 (IcePreprocessor.java:819-837): normalize a (possibly
+    * multi-word) term — whitespace → `_`, lowercase, lemmatize each
+    * piece. */
+  def normalizeWord(w: String): String =
+    w.trim.split("\\s+").map(p => lemma(p)).mkString("_")
+
   // --- number / time / money tagging (F12, IcePreprocessor.java:572-658) --
 
   /** Multiplier word table. The reference maps million→10000 (sic — a

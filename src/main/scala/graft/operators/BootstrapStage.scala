@@ -39,6 +39,56 @@ object BootstrapStage {
       .filter(!col("path").isin(seedPaths.toSeq: _*))
   }
 
+  /** A11 (the alternative bootstrap scorer, embedding flavor —
+    * IcePath.java:176-191 + WordEmbedding.java:87-128): centroid = sum
+    * of the seed reprs' word vectors (driver-side — seeds are a
+    * handful), broadcast; candidate score = cosine(centroid, candidate
+    * repr vector). The embedding map is broadcast; scoring is a narrow
+    * map over the repr table. */
+  def embeddingScores(reprTable: DataFrame, seedReprs: Set[String],
+                      embedding: Map[String, Array[Double]]): DataFrame = {
+    val spark = reprTable.sparkSession
+    import spark.implicits._
+    val dim = embedding.headOption.map(_._2.length).getOrElse(0)
+    def vecOf(repr: String): Array[Double] = {
+      val v = new Array[Double](dim)
+      repr.split("\\s+").foreach { w =>
+        embedding.get(w.toLowerCase).foreach { e =>
+          var i = 0; while (i < dim) { v(i) += e(i); i += 1 }
+        }
+      }
+      v
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na) / math.sqrt(nb)
+    }
+    val centroid = {
+      val c = new Array[Double](dim)
+      seedReprs.foreach { r =>
+        val v = vecOf(r); var i = 0; while (i < dim) { c(i) += v(i); i += 1 }
+      }
+      c
+    }
+    val bcE = spark.sparkContext.broadcast(embedding)
+    val bcC = spark.sparkContext.broadcast(centroid)
+    val score = udf { repr: String =>
+      val e = bcE.value
+      val v = new Array[Double](bcC.value.length)
+      repr.split("\\s+").foreach { w =>
+        e.get(w.toLowerCase).foreach { x =>
+          var i = 0; while (i < v.length) { v(i) += x(i); i += 1 }
+        }
+      }
+      BigDecimal(cos(bcC.value, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    reprTable.select(col("type1"), col("path"), col("type2"), col("repr"))
+      .withColumn("score", score(col("repr")))
+      .filter(!col("repr").isin(seedReprs.toSeq: _*))
+  }
+
   /** Rank candidates, dedupe by repr keeping the best-scored path
     * (window row_number=1 — O2), floor the score, cap the list. */
   def candidates(scores: DataFrame, reprTable: DataFrame,

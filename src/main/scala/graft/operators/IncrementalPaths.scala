@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.core.{AnnotatedDoc, PathInstance}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Incremental path recompute — the Spark-native form of the
+  * reference's per-doc DepPathsLog cache (DepPaths.java:585-676, gated
+  * by Ice.cacheLDPs): a document's previously mined paths are reused
+  * unless the document is "dirty" — it contains a token of a changed
+  * entity set (`dpidIsClean`, DepPaths.java:663-676, is emptiness of the
+  * intersection between doc tokens and entity-set nouns).
+  *
+  * Shape at scale: the changed-entity token set is small → broadcast
+  * set-membership predicate inside a narrow filter (no join shuffle);
+  * only the dirty slice flows through path mining again; the merge is a
+  * doc-id anti-join of the prior committed instance table against the
+  * dirty-doc list (left_anti, broadcastable when the dirty list is
+  * small) unioned with the fresh slice — MERGE-overwrite semantics on
+  * the instances table.
+  */
+object IncrementalPaths {
+
+  /** Tokens of a doc, lowercased (the dirty test's probe set). */
+  private def docTokens(d: AnnotatedDoc): Iterator[String] =
+    d.sentences.iterator.flatMap(_.tokens.iterator.map(_.word.toLowerCase))
+
+  /** Docs containing at least one token of the changed entity set. */
+  def dirtyDocs(ann: Dataset[AnnotatedDoc],
+                changedTokens: Set[String]): Dataset[AnnotatedDoc] = {
+    val bc = ann.sparkSession.sparkContext.broadcast(changedTokens)
+    ann.filter(d => docTokens(d).exists(bc.value))
+  }
+
+  /** MERGE: prior instances of clean docs + freshly mined instances of
+    * dirty docs. Equal to a full recompute whenever the mining logic
+    * itself is unchanged (asserted in IncrementalPathsSpec). */
+  def mergeInstances(prior: Dataset[PathInstance],
+                     ann: Dataset[AnnotatedDoc],
+                     changedTokens: Set[String]): DataFrame = {
+    val spark = ann.sparkSession
+    import spark.implicits._
+    val dirty = dirtyDocs(ann, changedTokens)
+    val dirtyIds = dirty.map(_.doc_id).toDF("doc_id")
+    val kept = prior.toDF().join(broadcast(dirtyIds), Seq("doc_id"), "left_anti")
+    kept.unionByName(DepPathsStage.instances(dirty).toDF())
+  }
+}

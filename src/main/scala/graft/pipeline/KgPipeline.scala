@@ -161,7 +161,11 @@ object KgPipeline {
     io.getOrCompute("rules", inputs = Seq("path_repr")) {
       Export.rulesTable(spark, ruleSeq)
     }
-    val tri = io.getOrCompute("triples", inputs = Seq("path_instances", "rules")) {
+    // partitioned by predicate (SURVEY §4 physical layout): per-pred
+    // partition pruning for downstream graph queries; predicate skew in
+    // file sizes is acceptable because files split on read
+    val tri = io.getOrCompute("triples", inputs = Seq("path_instances", "rules"),
+      partitionBy = Seq("pred")) {
       TaggerStage.triples(instDs, ruleSeq).toDF()
     }
     io.getOrCompute("canonical_triples", inputs = Seq("triples")) {
