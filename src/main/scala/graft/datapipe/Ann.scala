@@ -23,15 +23,16 @@ object Ann {
         sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), _ + _)))
 
   /** Exact top-k cosine neighbors for each query vector (query set =
-    * vec_id < nQueries). Output (query_id, neighbor_id, rank). */
+    * vec_id < nQueries). Output (query_id, neighbor_id, rank). The
+    * pairwise cosine is the native codegen'd expression
+    * [[graft.plans.CosineSim]] — one fused loop per pair. */
   def bruteForceTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
     val corpus = normed(emb, "vec_id")
     val queries = corpus.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val dot = aggregate(zip_with(col("qv"), col("v"), _ * _), lit(0.0), _ + _)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (dot / (col("nrm") * col("qn"))).as("cos"))
+        graft.plans.Functions.cosineSim(col("qv"), col("v")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -63,12 +64,11 @@ object Ann {
     val corpus = normed(emb, "vec_id").withColumn("sig", sigUdf(col("v")))
     val queries = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("sig").as("qsig"))
-    val dot = aggregate(zip_with(col("qv"), col("v"), _ * _), lit(0.0), _ + _)
+        col("sig").as("qsig"))
     val scored = corpus.join(broadcast(queries),
         col("sig") === col("qsig") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (dot / (col("nrm") * col("qn"))).as("cos"))
+        graft.plans.Functions.cosineSim(col("qv"), col("v")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
