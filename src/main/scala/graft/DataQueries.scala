@@ -31,6 +31,7 @@ object DataQueries {
     "ann_lsh" -> ((s, d) => Ann.lshTopK(emb(s, d))),
     // --- text analysis ---
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(docs(s, d))),
+    "text_tokens_bpe" -> ((s, d) => TextAnalysis.tokenCountsRegex(docs(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
@@ -92,6 +93,21 @@ object DataQueries {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy(col("event_type"))
         .agg(sum(col("k")).as("k_sum"), max(col("k")).as("k_max"))),
+    "q_part_supplier" -> ((s, d) => {
+      // 3-dim broadcast chain over the remaining star-schema tables
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val p = s.read.parquet(s"$d/part.parquet")
+      val su = s.read.parquet(s"$d/supplier.parquet")
+      val n = s.read.parquet(s"$d/nation.parquet")
+      val r = s.read.parquet(s"$d/region.parquet")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("p_brand"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("qty"),
+          countDistinct(col("s_suppkey")).as("n_suppliers"))
+    }),
     "q_union_agg" -> ((s, d) => {
       // union + re-aggregate (the reference's split/merge shape, A4/A5)
       val li = s.read.parquet(s"$d/lineitem.parquet")
@@ -246,6 +262,20 @@ object DataQueries {
           |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
           |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
           |FROM events GROUP BY 1""".stripMargin,
+      "text_tokens_bpe" ->
+        """SELECT doc_id,
+          |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+          |FROM documents""".stripMargin,
+      "q_part_supplier" ->
+        """SELECT r_name, p_brand,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+          |  count(DISTINCT s_suppkey) AS n_suppliers
+          |FROM lineitem
+          |JOIN part ON l_partkey = p_partkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY 1, 2""".stripMargin,
       "q_union_agg" ->
         """SELECT l_returnflag,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty

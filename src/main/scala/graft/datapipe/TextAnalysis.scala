@@ -57,6 +57,16 @@ object TextAnalysis {
         (lit(1.0) - stops / greatest(n, lit(1.0))) * 0.2, 6).as("quality"))
   }
 
+  /** BPE-ish regex token count: alphabetic runs, digit runs, and single
+    * non-space symbols each count as one token (the sub-word-tokenizer
+    * approximation for training-data budgeting). Pure column
+    * expression — stays codegen'd and pushdown-friendly. */
+  def tokenCountsRegex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("long").as("n_bpe_tokens"))
+
   /** Whitespace/case-normalized 128-bit content fingerprint. */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),

@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions._
 object BootstrapStage {
 
   val MaxBootstrappedItems = 200
+  /** Event-tree variant cap (events/EventBootstrap.java:44-53). */
+  val MaxBootstrappedEvents = 100
   val MinBootstrapScore = 0.05
 
   /** Candidate scores: for each non-seed path (same arg types), score =
