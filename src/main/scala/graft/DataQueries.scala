@@ -108,6 +108,24 @@ object DataQueries {
         .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("qty"),
           countDistinct(col("s_suppkey")).as("n_suppliers"))
     }),
+    "q_stream_events" -> ((s, d) => {
+      // Structured Streaming surface inside the correctness gate: drain
+      // the events table through a file stream (Trigger.AvailableNow)
+      // into a complete-mode memory sink; result must equal the batch
+      // aggregation (the DuckDB oracle).
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val dir = java.nio.file.Files.createTempDirectory("graft-qstream")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        dir.resolve("events.parquet"))
+      val name = "qse_" + java.lang.Long.toHexString(System.nanoTime())
+      val q = s.readStream.schema(schema).parquet(dir.toString)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      s.table(name)
+    }),
     "q_union_agg" -> ((s, d) => {
       // union + re-aggregate (the reference's split/merge shape, A4/A5)
       val li = s.read.parquet(s"$d/lineitem.parquet")
@@ -276,6 +294,8 @@ object DataQueries {
           |JOIN nation ON s_nationkey = n_nationkey
           |JOIN region ON n_regionkey = r_regionkey
           |GROUP BY 1, 2""".stripMargin,
+      "q_stream_events" ->
+        "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
       "q_union_agg" ->
         """SELECT l_returnflag,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty

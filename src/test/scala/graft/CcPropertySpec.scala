@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.Canonicalize
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property: the distributed CC loop labels every node with the minimum
+  * id of its component, for arbitrary small random graphs — verified
+  * against a driver-side union-find. */
+class CcPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unionFind(edges: Seq[(String, String)]): Map[String, String] = {
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(Ordering[String].max(ra, rb)) =
+        Ordering[String].min(ra, rb)
+    }
+    edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .groupBy(find).values
+      .flatMap(members => members.map(_ -> members.min)).toMap
+  }
+
+  test("CC labels == union-find minima on 15 random graphs") {
+    val g = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0, 9), Gen.choose(0, 9))
+        .map { case (a, b) => (s"n$a", s"n$b") })
+    (0 until 15).foreach { i =>
+      val edges = g.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val got = Canonicalize.connectedComponents(edges.toDF("src", "dst"))
+        .as[(String, String)].collect().toMap
+      assert(got === unionFind(edges), s"seed $i, edges $edges")
+    }
+  }
+}
