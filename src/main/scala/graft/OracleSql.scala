@@ -192,6 +192,17 @@ object OracleSql {
        |             (coalesce(bg.bg_doc_freq, 0) + 1), 6) AS score
        |FROM fg LEFT JOIN bg ON fg.term = bg.term""".stripMargin
 
+  val kgPathRank: String =
+    s"""$baseCte,
+       |fg AS (SELECT ($pathsL)[ri] AS path, count(*) AS cnt
+       |       FROM bb WHERE id % 4 = 0 GROUP BY 1),
+       |bg AS (SELECT ($pathsL)[ri] AS path, count(*) AS cnt
+       |       FROM bb WHERE id % 4 = 2 GROUP BY 1)
+       |SELECT 'PERSON' AS type1, fg.path, 'GPE' AS type2,
+       |       fg.cnt AS fg_cnt,
+       |       round(fg.cnt * ln(fg.cnt) / (coalesce(bg.cnt, 0) + 1), 6) AS score
+       |FROM fg LEFT JOIN bg ON fg.path = bg.path""".stripMargin
+
   val kgBootstrapScores: String =
     s"""$baseCte,
        |inst AS (

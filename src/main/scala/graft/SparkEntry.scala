@@ -27,6 +27,7 @@ object SparkEntry {
     "kg_spans_roundtrip" -> ((s, dir) => KgPipeline.spansRoundtrip(s, dir)),
     "kg_term_counts" -> ((s, dir) => KgPipeline.termCounts(s, dir)),
     "kg_term_rank" -> ((s, dir) => KgPipeline.termRank(s, dir)),
+    "kg_path_rank" -> ((s, dir) => KgPipeline.pathRank(s, dir)),
     "kg_dep_events" -> ((s, dir) => KgPipeline.depEvents(s, dir)),
     "kg_entity_index" -> ((s, dir) => KgPipeline.entityIndex(s, dir)),
     "kg_entity_expansion" -> ((s, dir) => KgPipeline.entityExpansion(s, dir)),
@@ -54,6 +55,7 @@ object SparkEntry {
     "kg_spans_roundtrip" -> OracleSql.kgSpansRoundtrip,
     "kg_term_counts" -> OracleSql.kgTermCounts,
     "kg_term_rank" -> OracleSql.kgTermRank,
+    "kg_path_rank" -> OracleSql.kgPathRank,
     "kg_dep_events" -> OracleSql.kgDepEvents,
     "kg_entity_index" -> OracleSql.kgEntityIndex,
     "kg_entity_expansion" -> OracleSql.kgEntityExpansion,

@@ -79,6 +79,25 @@ object KgPipeline {
     TermsStage.rankTerms(fg, bg)
   }
 
+  /** fg/bg path-type ratio ranking (A8 applied to relations — the
+    * reference's rankRelations flow, Corpus.java:241-259 + Ratio.java:
+    * 40-50): foreground/background doc slices as in termRank; score =
+    * fgCnt·ln(fgCnt)/(bgCnt+1), bg side broadcast (J1). */
+  def pathRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val ann = annotated(spark, sfDir)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, log, round}
+    def types(p: Dataset[AnnotatedDoc]) =
+      DepPathsStage.pathTypesTable(DepPathsStage.instances(p))
+    val fg = types(ann.filter(d => d.doc_id.toLong % 4 == 0))
+    val bg = types(ann.filter(d => d.doc_id.toLong % 4 == 2))
+      .select(col("type1"), col("path"), col("type2"), col("cnt").as("bg_cnt"))
+    fg.join(broadcast(bg), Seq("type1", "path", "type2"), "left")
+      .select(col("type1"), col("path"), col("type2"), col("cnt").as("fg_cnt"),
+        round(col("cnt") * log(col("cnt").cast("double")) /
+          (coalesce(col("bg_cnt"), lit(0L)) + lit(1)), 6).as("score"))
+  }
+
   def depEvents(spark: SparkSession, sfDir: String): DataFrame =
     EntitySetStage.depEvents(annotated(spark, sfDir))
 
