@@ -25,8 +25,12 @@ object BootstrapStage {
   /** Candidate scores: for each non-seed path (same arg types), score =
     * #distinct arg pairs shared with seed instances; totalCount =
     * #distinct arg pairs of the path (Bootstrap.java:362-371). */
+  /** @param rejectPaths user-rejected candidates, excluded from the
+    *   output (the GUI "Iterate" fold, Bootstrap.java:211-222,341-342 —
+    *   an anti-join on the reject set). */
   def sharedArgScores(inst: Dataset[PathInstance],
-                      seedPaths: Set[String]): DataFrame = {
+                      seedPaths: Set[String],
+                      rejectPaths: Set[String] = Set.empty): DataFrame = {
     val df = inst.toDF().select(col("path"), col("type1"), col("type2"),
       concat_ws(":::", col("arg1"), col("arg2")).as("arg_pair"))
     val seedPairs = df.filter(col("path").isin(seedPaths.toSeq: _*))
@@ -36,10 +40,18 @@ object BootstrapStage {
     val shared = df.join(broadcast(seedPairs), Seq("arg_pair"))
       .groupBy(col("path"))
       .agg(countDistinct(col("arg_pair")).as("score"))
+    val excluded = (seedPaths ++ rejectPaths).toSeq
     totals.join(shared, Seq("path"), "left")
       .withColumn("score", coalesce(col("score"), lit(0L)))
-      .filter(!col("path").isin(seedPaths.toSeq: _*))
+      .filter(!col("path").isin(excluded: _*))
   }
+
+  /** One bootstrap iteration (Bootstrap.java:211-301): fold the user's
+    * labels into the seed/reject sets, re-score, re-rank. */
+  def iterate(inst: Dataset[PathInstance], reprTable: DataFrame,
+              seedPaths: Set[String], rejectPaths: Set[String],
+              cap: Int = MaxBootstrappedItems): DataFrame =
+    candidates(sharedArgScores(inst, seedPaths, rejectPaths), reprTable, cap)
 
   /** A11 (the alternative bootstrap scorer, embedding flavor —
     * IcePath.java:176-191 + WordEmbedding.java:87-128): centroid = sum

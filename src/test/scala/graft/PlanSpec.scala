@@ -58,6 +58,32 @@ class PlanSpec extends SparkSpec {
     assert(exchanges === 2, s"expected 2 exchanges, got $exchanges:\n$p")
   }
 
+  test("bucketed tables join without a shuffle (co-located big-big join)") {
+    import org.apache.spark.sql.functions.col
+    // the scale pattern for repeated fact-fact joins: bucket both sides
+    // on the join key at write time; the sort-merge join then reads
+    // buckets directly — zero Exchange in the plan
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("o_b")
+    // force the sort-merge path (broadcast would mask the bucket test)
+    val joined = spark.table("li_b").hint("merge")
+      .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+    val p = plan(joined)
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange"), s"bucketed join should not shuffle:\n$p")
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE li_b")
+    spark.sql("DROP TABLE o_b")
+  }
+
   test("seed-rule resolution join broadcasts the seed side") {
     val inst = graft.operators.DepPathsStage.instances(
       KgPipeline.annotated(spark, dir))

@@ -67,6 +67,34 @@ class StagesSpec extends SparkSpec {
       "cand:two" -> ((1L, 0L))))
   }
 
+  test("bootstrap iterate: rejected candidates are excluded (anti-join)") {
+    import graft.core.PathInstance
+    def pi(arg1: String, path: String, arg2: String) =
+      PathInstance("d", 0, "PERSON", "GPE", arg1, arg2, arg1, arg2, path, path, "e")
+    val inst = spark.createDataset(Seq(
+      pi("A", "seed:path", "X"),
+      pi("A", "cand:one", "X"), pi("A", "cand:two", "X")))
+    val repr = Seq(("cand:one", "cand:one"), ("cand:two", "cand:two"))
+      .toDF("path", "repr")
+    val kept = BootstrapStage.iterate(inst, repr,
+        Set("seed:path"), rejectPaths = Set("cand:two"))
+      .select("path").as[String].collect().toSet
+    assert(kept === Set("cand:one"))
+  }
+
+  test("A12 negative seeds depress expansion scores (gamma = 0.5)") {
+    // index: term t+ shares contexts with posSeed, t- with negSeed
+    val idx = Seq(
+      ("posSeed", "c1", 1L, 2.0), ("negSeed", "c2", 1L, 2.0),
+      ("tPlus", "c1", 1L, 2.0), ("tMinus", "c2", 1L, 2.0))
+      .toDF("term", "context", "cnt", "pmi")
+    val scores = EntitySetStage.expand(spark, idx,
+        seeds = Set("posSeed"), negSeeds = Set("negSeed"))
+      .as[(String, Double)].collect().toMap
+    assert(scores("tPlus") > 0.9)
+    assert(scores("tMinus") < 0.0) // pure negative-centroid cosine * -gamma
+  }
+
   test("P/R scorer (A15)") {
     val key = Seq(("d1", "a", "p", "b"), ("d2", "c", "p", "d"))
       .toDF("doc_id", "subj", "pred", "obj")
