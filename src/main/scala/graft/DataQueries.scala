@@ -35,6 +35,7 @@ object DataQueries {
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
+    "text_trainset" -> ((s, d) => TextAnalysis.trainset(docs(s, d))),
     // --- multimodal plumbing ---
     "kg_media_features" -> ((s, d) =>
       Multimodal.extractFeatures(
@@ -158,7 +159,43 @@ object DataQueries {
         |  FROM embeddings
         |),
         |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM u GROUP BY 1)""".stripMargin
+    val langIdSql =
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> x IN ('the','a','of','and','is'))) AS en,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> x IN ('der','die','das','und','ist'))) AS de,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> x IN ('le','la','les','et','est'))) AS fr,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> x IN ('el','los','las','y','es'))) AS es
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(en,de,fr,es) = 0 THEN 'unk'
+        |       WHEN en = greatest(en,de,fr,es) THEN 'en'
+        |       WHEN de = greatest(en,de,fr,es) THEN 'de'
+        |       WHEN fr = greatest(en,de,fr,es) THEN 'fr'
+        |       ELSE 'es' END AS pred_lang
+        |FROM h""".stripMargin
+    val qualitySql =
+      """SELECT doc_id, round(
+        |  least(len(string_split_regex(trim(text), '\s+')), 50) / 50.0 * 0.5 +
+        |  (length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 /
+        |   greatest(length(text), 1)) * 0.3 +
+        |  (1.0 - len(list_filter(string_split_regex(lower(text), '\s+'),
+        |     x -> x IN ('the','a','an','of','and','or','is','to','in','on'))) * 1.0 /
+        |   greatest(len(string_split_regex(trim(text), '\s+')), 1)) * 0.2,
+        |  6) AS quality
+        |FROM documents""".stripMargin
     Map(
+      "text_trainset" ->
+        s"""WITH q AS ($qualitySql), l AS ($langIdSql),
+           |s AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+           |SELECT q.doc_id, q.quality, l.pred_lang
+           |FROM q JOIN l ON q.doc_id = l.doc_id
+           |       JOIN s ON q.doc_id = s.doc_id
+           |WHERE q.quality >= 0.5 AND l.pred_lang = 'en'""".stripMargin,
       "dedup_exact" ->
         "SELECT md5(text) AS fp, count(*) AS cnt, min(doc_id) AS keep_id FROM documents GROUP BY 1",
       "dedup_ngram_jaccard" -> jaccardSql(0.7),
@@ -195,35 +232,8 @@ object DataQueries {
       "text_tokens" ->
         """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens,
           |       length(text) AS n_chars FROM documents""".stripMargin,
-      "text_langid" ->
-        """WITH h AS (
-          |  SELECT doc_id,
-          |    len(list_filter(string_split_regex(lower(text), '\s+'),
-          |        x -> x IN ('the','a','of','and','is'))) AS en,
-          |    len(list_filter(string_split_regex(lower(text), '\s+'),
-          |        x -> x IN ('der','die','das','und','ist'))) AS de,
-          |    len(list_filter(string_split_regex(lower(text), '\s+'),
-          |        x -> x IN ('le','la','les','et','est'))) AS fr,
-          |    len(list_filter(string_split_regex(lower(text), '\s+'),
-          |        x -> x IN ('el','los','las','y','es'))) AS es
-          |  FROM documents)
-          |SELECT doc_id,
-          |  CASE WHEN greatest(en,de,fr,es) = 0 THEN 'unk'
-          |       WHEN en = greatest(en,de,fr,es) THEN 'en'
-          |       WHEN de = greatest(en,de,fr,es) THEN 'de'
-          |       WHEN fr = greatest(en,de,fr,es) THEN 'fr'
-          |       ELSE 'es' END AS pred_lang
-          |FROM h""".stripMargin,
-      "text_quality" ->
-        """SELECT doc_id, round(
-          |  least(len(string_split_regex(trim(text), '\s+')), 50) / 50.0 * 0.5 +
-          |  (length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 /
-          |   greatest(length(text), 1)) * 0.3 +
-          |  (1.0 - len(list_filter(string_split_regex(lower(text), '\s+'),
-          |     x -> x IN ('the','a','an','of','and','or','is','to','in','on'))) * 1.0 /
-          |   greatest(len(string_split_regex(trim(text), '\s+')), 1)) * 0.2,
-          |  6) AS quality
-          |FROM documents""".stripMargin,
+      "text_langid" -> langIdSql,
+      "text_quality" -> qualitySql,
       "text_fingerprint" ->
         """SELECT doc_id,
           |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp

@@ -72,6 +72,25 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
 
+  /** Composite training-set selection — the end-to-end data-curation
+    * shape: quality floor ∧ language filter ∧ exact-dedup survivor
+    * (min doc_id per content fingerprint). One narrow pass for the
+    * scalar filters + one fingerprint groupBy; the semi-join on
+    * survivors stays on the 16-byte fingerprint, never the text. */
+  def trainset(docs: DataFrame, minQuality: Double = 0.5,
+               lang: String = "en"): DataFrame = {
+    val scored = docs
+      .join(qualityScore(docs), "doc_id")
+      .join(langId(docs), "doc_id")
+      .filter(col("quality") >= minQuality && col("pred_lang") === lang)
+    val survivors = docs
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    scored.join(survivors, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("quality"), col("pred_lang"))
+  }
+
   /** Rolling polynomial token hash (Rabin-Karp-style) — the streaming
     * fingerprint variant; exercised in unit tests (not SQL-expressible). */
   def rollingHash(tokens: Seq[String], base: Long = 1000003L): Long =
