@@ -234,6 +234,23 @@ object OracleSql {
        |  SELECT 'visit nsubj:PERSON dobj:GPE' FROM bb WHERE ri = 2
        |) GROUP BY 1""".stripMargin
 
+  /** Event triples: filler sentences (even ids) yield
+    * (n1, filler-verb-lemma, n2); 'visited' main sentences (ri=2) yield
+    * (lemma of person head token, visit, lemma of city surface). */
+  val kgEventTriples: String =
+    s"""$baseCte
+       |SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+       |       ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] AS subj,
+       |       ($fvLemmasL)[CAST((d.doc_id*23) % 4 AS INT)+1] AS pred,
+       |       ($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1] AS obj
+       |FROM documents d WHERE d.doc_id % 2 = 0
+       |UNION ALL
+       |SELECT CAST(id AS VARCHAR),
+       |       lower(string_split(($personsL)[pi+1], ' ')[2]),
+       |       'visit',
+       |       lower(CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END)
+       |FROM bb WHERE ri = 2""".stripMargin
+
   val kgRules: String =
     s"""$baseCte,
        |p AS (SELECT DISTINCT ($pathsL)[ri] AS path, ($predsL)[ri] AS rel FROM bb)

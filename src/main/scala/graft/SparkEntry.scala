@@ -33,6 +33,7 @@ object SparkEntry {
     "kg_entity_expansion" -> ((s, dir) => KgPipeline.entityExpansion(s, dir)),
     "kg_bootstrap_scores" -> ((s, dir) => KgPipeline.bootstrapScores(s, dir)),
     "kg_events" -> ((s, dir) => KgPipeline.events(s, dir)),
+    "kg_event_triples" -> ((s, dir) => KgPipeline.eventTriples(s, dir)),
     "kg_rules" -> ((s, dir) => KgPipeline.rulesTable(s, dir)),
     "kg_triples_soft" -> ((s, dir) => KgPipeline.triplesSoft(s, dir)),
     "kg_canonical_triples" -> ((s, dir) => KgPipeline.canonicalTriples(s, dir)),
@@ -61,6 +62,7 @@ object SparkEntry {
     "kg_entity_expansion" -> OracleSql.kgEntityExpansion,
     "kg_bootstrap_scores" -> OracleSql.kgBootstrapScores,
     "kg_events" -> OracleSql.kgEvents,
+    "kg_event_triples" -> OracleSql.kgEventTriples,
     "kg_rules" -> OracleSql.kgRules,
     "kg_triples_soft" -> OracleSql.kgTriplesSoft,
     "kg_canonical_triples" -> OracleSql.kgCanonicalTriples,

@@ -68,4 +68,17 @@ object EventsStage {
   def eventCounts(ev: Dataset[EventRow]): DataFrame =
     graft.functions.Salting.saltedCount(
       ev.toDF().select(col("key")), Seq("key"))
+
+  /** Event triples: (subject value, trigger lemma, object value) from
+    * each verb-headed tree — the event-flavored counterpart of the
+    * relation triple table. */
+  def eventTriples(ev: Dataset[EventRow]): DataFrame = {
+    import ev.sparkSession.implicits._
+    ev.flatMap { e =>
+      for {
+        s <- e.args.find(_.role == "nsubj")
+        o <- e.args.find(_.role == "dobj")
+      } yield (e.doc_id, s.value, e.trigger, o.value)
+    }.toDF("doc_id", "subj", "pred", "obj")
+  }
 }

@@ -121,6 +121,9 @@ object KgPipeline {
   def events(spark: SparkSession, sfDir: String): DataFrame =
     EventsStage.eventCounts(EventsStage.events(annotated(spark, sfDir)))
 
+  def eventTriples(spark: SparkSession, sfDir: String): DataFrame =
+    EventsStage.eventTriples(EventsStage.events(annotated(spark, sfDir)))
+
   def rules(spark: SparkSession, sfDir: String): Seq[RelationRule] = {
     val repr = DepPathsStage.pathReprTable(instances(spark, sfDir))
     TaggerStage.rulesFromSeeds(spark, repr, seedPhrases)
