@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+final case class SessEvent(user_id: Long, ts: java.sql.Timestamp) {
+  def ts_ms: Long = ts.getTime
+}
+final case class SessState(start_ms: Long, end_ms: Long, n: Long)
+final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
+                            n_events: Long)
+
+/** Stateful streaming sessionization over the events table
+  * (`KeyValueGroupedDataset.flatMapGroupsWithState` with event-time
+  * timeout): per-user sessions close after `gapMinutes` of event-time
+  * silence. The state-update rule is the pure function [[fold]] so the
+  * semantics are unit-testable without a streaming harness; the
+  * streaming wrapper only adds watermark + timeout plumbing.
+  */
+object Sessionize {
+
+  /** Pure per-batch state fold: merge a batch of events into an open
+    * session, emitting every session that closed (gap exceeded between
+    * sorted events). Returns (openSession, closedSessions). */
+  def fold(state: Option[SessState], events: Seq[SessEvent],
+           gapMs: Long): (Option[SessState], Seq[SessionOut]) = {
+    val sorted = events.sortBy(_.ts_ms)
+    var open = state
+    val closed = Seq.newBuilder[(SessState, Long)]
+    sorted.foreach { e =>
+      open match {
+        case Some(s) if e.ts_ms - s.end_ms <= gapMs =>
+          open = Some(SessState(s.start_ms, e.ts_ms, s.n + 1))
+        case Some(s) =>
+          closed += ((s, 0L))
+          open = Some(SessState(e.ts_ms, e.ts_ms, 1))
+        case None =>
+          open = Some(SessState(e.ts_ms, e.ts_ms, 1))
+      }
+    }
+    (open, closed.result().map { case (s, _) => toOut(0L, s) })
+  }
+
+  private def toOut(uid: Long, s: SessState): SessionOut =
+    SessionOut(uid, s.start_ms, s.end_ms, s.n)
+
+  /** Streaming sessionization: watermarked event stream → per-user
+    * state; closed sessions are emitted in append mode (on gap within a
+    * batch, or on event-time timeout across batches). */
+  def sessions(events: DataFrame, gapMinutes: Int = 30,
+               watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    // keep the watermarked `ts` column itself through the projection —
+    // deriving a new column would strip the watermark tag the
+    // event-time timeout requires
+    val typed = events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .as[SessEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[SessEvent], gs: GroupState[SessState]) =>
+          if (gs.hasTimedOut) {
+            val out = gs.getOption.map(s => toOut(uid, s)).toSeq
+            gs.remove()
+            out.iterator
+          } else {
+            val (open, closed) = fold(gs.getOption, it.toSeq, gapMs)
+            open.foreach { s =>
+              gs.update(s)
+              gs.setTimeoutTimestamp(s.end_ms + gapMs)
+            }
+            closed.map(c => c.copy(user_id = uid)).iterator
+          }
+      }
+  }
+}
