@@ -29,6 +29,7 @@ object DataQueries {
     // --- similarity search ---
     "ann_topk" -> ((s, d) => Ann.bruteForceTopK(emb(s, d))),
     "ann_lsh" -> ((s, d) => Ann.lshTopK(emb(s, d))),
+    "ann_ivf" -> ((s, d) => Ann.ivfTopK(emb(s, d))),
     // --- text analysis ---
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(docs(s, d))),
     "text_tokens_bpe" -> ((s, d) => TextAnalysis.tokenCountsRegex(docs(s, d))),

@@ -40,6 +40,83 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Deterministic Lloyd's k-means for the IVF coarse quantizer: initial
+    * centroids are the k lowest-id vectors (no RNG), fixed iteration
+    * count. Trains on a driver-side sample — the quantizer is a tiny
+    * model; assignment and search stay distributed. */
+  def kmeans(sample: Array[Array[Double]], k: Int,
+             iters: Int = 10): Array[Array[Double]] = {
+    val dim = sample.head.length
+    var centroids = sample.take(k).map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var i = 0; while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+
+  def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var i = 0
+      while (i < v.length) { val x = v(i) - cs(c)(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def nearestCentroids(v: Array[Double], cs: Array[Array[Double]],
+                               n: Int): Seq[Int] =
+    cs.indices.sortBy { c =>
+      var d = 0.0; var i = 0
+      while (i < v.length) { val x = v(i) - cs(c)(i); d += x * x; i += 1 }
+      d
+    }.take(n)
+
+  /** IVF ANN: corpus bucketed into k-means cells; each query probes its
+    * `nProbe` nearest cells and ranks candidates by exact cosine — the
+    * classic inverted-file index. Same output schema as
+    * [[bruteForceTopK]]; recall vs brute force asserted in tests. */
+  def ivfTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val corpus = normed(emb, "vec_id")
+    val sample = corpus.select(col("vec_id").cast("long"), col("v"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1).map(_._2)
+    val centroids = spark.sparkContext.broadcast(kmeans(sample, nCells))
+    val cellUdf = udf((v: Seq[Double]) =>
+      nearestCentroid(v.toArray, centroids.value))
+    val probeUdf = udf((v: Seq[Double]) =>
+      nearestCentroids(v.toArray, centroids.value, nProbe))
+    val cells = corpus.withColumn("cell", cellUdf(col("v")))
+    val queries = cells.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(probeUdf(col("v"))).as("cell"))
+    val scored = cells.join(broadcast(queries),
+        Seq("cell")).filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.plans.Functions.cosineSim(col("qv"), col("v")).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Random hyperplanes (deterministic seed) for an LSH signature. */
   def hyperplanes(dim: Int, bits: Int, seed: Long = 7L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -27,19 +27,27 @@ object Sessionize {
            gapMs: Long): (Option[SessState], Seq[SessionOut]) = {
     val sorted = events.sortBy(_.ts_ms)
     var open = state
-    val closed = Seq.newBuilder[(SessState, Long)]
+    val closed = Seq.newBuilder[SessState]
     sorted.foreach { e =>
       open match {
-        case Some(s) if e.ts_ms - s.end_ms <= gapMs =>
-          open = Some(SessState(s.start_ms, e.ts_ms, s.n + 1))
-        case Some(s) =>
-          closed += ((s, 0L))
+        // interval membership (not "after end") — batches can deliver
+        // late events, so an event may fall inside or before the open
+        // session; the session interval only ever widens
+        case Some(s) if e.ts_ms >= s.start_ms - gapMs &&
+            e.ts_ms <= s.end_ms + gapMs =>
+          open = Some(SessState(math.min(s.start_ms, e.ts_ms),
+            math.max(s.end_ms, e.ts_ms), s.n + 1))
+        case Some(s) if e.ts_ms > s.end_ms + gapMs =>
+          closed += s
           open = Some(SessState(e.ts_ms, e.ts_ms, 1))
+        case Some(_) =>
+          // older than session start minus gap: beyond-late, dropped
+          ()
         case None =>
           open = Some(SessState(e.ts_ms, e.ts_ms, 1))
       }
     }
-    (open, closed.result().map { case (s, _) => toOut(0L, s) })
+    (open, closed.result().map(s => toOut(0L, s)))
   }
 
   private def toOut(uid: Long, s: SessState): SessionOut =
@@ -73,7 +81,11 @@ object Sessionize {
             val (open, closed) = fold(gs.getOption, it.toSeq, gapMs)
             open.foreach { s =>
               gs.update(s)
-              gs.setTimeoutTimestamp(s.end_ms + gapMs)
+              // late events can put end+gap behind the current watermark
+              // (Spark rejects a timeout in the past) — clamp forward so
+              // the session closes at the next watermark advance
+              val floor = gs.getCurrentWatermarkMs() + 1
+              gs.setTimeoutTimestamp(math.max(s.end_ms + gapMs, floor))
             }
             closed.map(c => c.copy(user_id = uid)).iterator
           }

@@ -51,6 +51,24 @@ class DatapipeSpec extends SparkSpec {
     }
   }
 
+  test("ann IVF: recall@5 vs brute force >= 0.6 with 4/16 probes; deterministic") {
+    val brute = Ann.bruteForceTopK(emb, k = 5, nQueries = 5)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Ann.ivfTopK(emb, k = 5, nQueries = 5)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = brute.keys.toSeq.map { q =>
+      (ivf.getOrElse(q, Set.empty) intersect brute(q)).size / 5.0
+    }
+    assert(recall.sum / recall.size >= 0.6, s"mean recall ${recall.sum / 5}")
+    // deterministic: same result on a second run
+    val ivf2 = Ann.ivfTopK(emb, k = 5, nQueries = 5)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(ivf === ivf2)
+  }
+
   test("multimodal: media assets carry binary payloads; batched decode is deterministic") {
     val corpus = graft.pipeline.KgPipeline.corpus(spark, dir)
     val assets = Multimodal.assets(corpus)
