@@ -24,12 +24,12 @@ object DataQueries {
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
-    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(docs(s, d))),
-    "dedup_embedding" -> ((s, d) => Dedup.embeddingCosine(emb(s, d))),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(docs(s, d))),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupLsh(emb(s, d))),
     // --- similarity search ---
     "ann_topk" -> ((s, d) => Ann.bruteForceTopK(emb(s, d))),
-    "ann_lsh" -> ((s, d) => Ann.lshTopK(emb(s, d))),
-    "ann_ivf" -> ((s, d) => Ann.ivfTopK(emb(s, d))),
+    "ann_lsh" -> ((s, d) => Ann.lshRecallGate(emb(s, d))),
+    "ann_ivf" -> ((s, d) => Ann.ivfRecallGate(emb(s, d))),
     // --- text analysis ---
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(docs(s, d))),
     "text_tokens_bpe" -> ((s, d) => TextAnalysis.tokenCountsRegex(docs(s, d))),
@@ -311,9 +311,20 @@ object DataQueries {
         """SELECT l_returnflag,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
           |FROM lineitem GROUP BY 1""".stripMargin,
-      // dedup_simhash / ann_lsh: approximate operators, no SQL oracle
-      // (driver records rows-only); recall vs brute force asserted in
-      // DatapipeSpec.
+      // dedup_simhash: simhash is the BLOCKING stage; the shipped output
+      // is exact-Jaccard-verified candidates, so the oracle is the same
+      // independent Jaccard recomputation as dedup_minhash. Blocking
+      // recall < 1 would surface as a rows mismatch.
+      "dedup_simhash" -> jaccardSql(0.8),
+      // ann_lsh / ann_ivf: per-query recall vs exact brute-force top-k,
+      // reduced to a deterministic (query_id, recall_ok) table; the
+      // oracle asserts recall_ok for every query in the query set.
+      "ann_lsh" ->
+        """SELECT DISTINCT vec_id AS query_id, true AS recall_ok
+          |FROM embeddings WHERE vec_id < 10""".stripMargin,
+      "ann_ivf" ->
+        """SELECT DISTINCT vec_id AS query_id, true AS recall_ok
+          |FROM embeddings WHERE vec_id < 10""".stripMargin,
     )
   }
 }

@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
   *  - [[bruteForceTopK]]: exact cosine top-k via a broadcast of the
   *    (small) query set against the full corpus — the correctness
   *    baseline. Scales linearly in corpus size per query.
-  *  - [[lshTopK]]: random-hyperplane LSH — corpus bucketed by signature
-  *    prefix, queries probe only their own bucket. The scale path:
-  *    bucket count grows with corpus size, per-bucket work stays
-  *    bounded. Recall vs brute force is asserted in DatapipeSpec.
+  *  - [[lshTopK]]: multi-band random-hyperplane LSH — candidates share
+  *    at least one band bucket, ranked by exact cosine. The scale path:
+  *    the bucket join distributes on (band, key); recall vs brute force
+  *    is asserted in DatapipeSpec and in the driver gate
+  *    ([[lshRecallGate]] / [[ivfRecallGate]]).
   */
 object Ann {
 
@@ -88,15 +89,36 @@ object Ann {
   /** IVF ANN: corpus bucketed into k-means cells; each query probes its
     * `nProbe` nearest cells and ranks candidates by exact cosine — the
     * classic inverted-file index. Same output schema as
-    * [[bruteForceTopK]]; recall vs brute force asserted in tests. */
+    * [[bruteForceTopK]]; recall vs brute force asserted in tests and in
+    * the gate (see [[ivfRecallGate]]).
+    *
+    * The quantizer trains on a BOUNDED deterministic sample: a hash-mod
+    * slice of the corpus, capped at `nCells * 256` vectors via a
+    * distributed ordered limit (TakeOrderedAndProject — only the cap
+    * ever reaches the driver). Assignment and search stay distributed,
+    * so the operator survives arbitrary corpus sizes. */
   def ivfTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val corpus = normed(emb, "vec_id")
-    val sample = corpus.select(col("vec_id").cast("long"), col("v"))
-      .as[(Long, Array[Double])].collect().sortBy(_._1).map(_._2)
-    val centroids = spark.sparkContext.broadcast(kmeans(sample, nCells))
+    val maxSample = nCells * 256
+    val ids = corpus.select(col("vec_id").cast("long"), col("v"))
+      .as[(Long, Array[Double])]
+    // deterministic spread sample; if the hash slice is too thin for k
+    // centroids (tiny corpora), fall back to the ordered prefix
+    val sliced = ids.filter(pmod(hash(col("vec_id")), lit(4)) === 0)
+      .orderBy("vec_id").limit(maxSample).collect()
+    val sampleRows =
+      if (sliced.length >= nCells) sliced
+      else ids.orderBy("vec_id").limit(maxSample).collect()
+    if (sampleRows.isEmpty)
+      return emb.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
+          lit(0).as("rank")).limit(0)
+    val sample = sampleRows.sortBy(_._1).map(_._2)
+    val centroids = spark.sparkContext.broadcast(
+      kmeans(sample, math.min(nCells, sample.length)))
     val cellUdf = udf((v: Seq[Double]) =>
       nearestCentroid(v.toArray, centroids.value))
     val probeUdf = udf((v: Seq[Double]) =>
@@ -123,33 +145,81 @@ object Ann {
     Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** LSH-bucketed ANN: signature = sign bits against `bits` random
-    * hyperplanes; each query probes only vectors sharing its bucket.
-    * Same output schema as [[bruteForceTopK]]. */
+  /** LSH-bucketed ANN, multi-band: `bands` signatures of `bits` sign
+    * bits each; a corpus vector is a candidate for a query if they share
+    * at least one (band, key) bucket; candidates are ranked by exact
+    * cosine. Recall is tuned by `bands` (more bands = higher recall),
+    * per-bucket population by `bits` (more bits = smaller buckets) —
+    * the standard hyperplane-LSH recall/cost dial. Same output schema
+    * as [[bruteForceTopK]]; the bucket join is distributed on
+    * (band, key), so no side is ever scanned whole per query. */
   def lshTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
-              bits: Int = 8): DataFrame = {
+              bits: Int = 4, bands: Int = 24): DataFrame = {
     val spark = emb.sparkSession
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
-    val planes = spark.sparkContext.broadcast(hyperplanes(dim, bits))
-    val sigUdf = udf((v: Seq[Double]) => {
+    val planes = spark.sparkContext.broadcast(hyperplanes(dim, bits * bands))
+    val keysUdf = udf((v: Seq[Double]) => {
       val ps = planes.value
-      ps.indices.foldLeft(0) { (acc, i) =>
-        val d = v.indices.foldLeft(0.0)((s, j) => s + v(j) * ps(i)(j))
-        if (d >= 0) acc | (1 << i) else acc
+      (0 until bands).map { b =>
+        var key = 0
+        var i = 0
+        while (i < bits) {
+          val p = ps(b * bits + i)
+          var d = 0.0; var j = 0
+          while (j < p.length && j < v.length) { d += v(j) * p(j); j += 1 }
+          if (d >= 0) key |= (1 << i)
+          i += 1
+        }
+        key
       }
     })
-    val corpus = normed(emb, "vec_id").withColumn("sig", sigUdf(col("v")))
-    val queries = corpus.filter(col("vec_id") < nQueries)
+    val corpus = normed(emb, "vec_id")
+    val banded = corpus.select(col("vec_id"), col("v"),
+      posexplode(keysUdf(col("v"))).as(Seq("band", "bkey")))
+    val queries = banded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("sig").as("qsig"))
-    val scored = corpus.join(broadcast(queries),
-        col("sig") === col("qsig") && col("vec_id") =!= col("query_id"))
+        col("band"), col("bkey"))
+    val cand = banded.join(broadcast(queries), Seq("band", "bkey"))
+      .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         graft.plans.Functions.cosineSim(col("qv"), col("v")).as("cos"))
+      .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), asc("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
+
+  /** Gate surface for an approximate top-k: per-query recall against the
+    * exact brute-force top-k, reduced to a deterministic, hashable
+    * `(query_id, recall_ok)` table. The DuckDB oracle recomputes the
+    * query set and asserts `recall_ok = true` for every query — so a
+    * recall regression (or a broken bucketing join) turns the gate red
+    * instead of passing a rows-only check. */
+  def recallGate(approx: DataFrame, brute: DataFrame,
+                 minRecall: Double): DataFrame = {
+    val truth = brute.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"))
+    val hits = brute.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    truth.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hit"), lit(0L)) >= col("n_truth") * minRecall)
+          .as("recall_ok"))
+  }
+
+  /** [[lshTopK]] recall gate (driver query `ann_lsh`). */
+  def lshRecallGate(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
+                    bits: Int = 4, bands: Int = 24,
+                    minRecall: Double = 0.6): DataFrame =
+    recallGate(lshTopK(emb, k, nQueries, bits, bands),
+      bruteForceTopK(emb, k, nQueries), minRecall)
+
+  /** [[ivfTopK]] recall gate (driver query `ann_ivf`). */
+  def ivfRecallGate(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
+                    nCells: Int = 16, nProbe: Int = 12,
+                    minRecall: Double = 0.6): DataFrame =
+    recallGate(ivfTopK(emb, k, nQueries, nCells, nProbe),
+      bruteForceTopK(emb, k, nQueries), minRecall)
 }

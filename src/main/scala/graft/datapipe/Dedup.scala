@@ -142,16 +142,21 @@ object Dedup {
   }
 
   /** Near-dup pairs with simhash hamming distance <= maxDist, blocked on
-    * 4 x 16-bit bands (a pair within distance 3 must agree on at least
-    * one band). */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    * 12 x 5-bit bands over bits 0..59 — flips in the 4 unbanded bits
+    * cannot disturb any band, so by pigeonhole a pair within hamming
+    * distance 11 must agree on at least one band: blocking recall is
+    * exact for the default `maxDist`. 5-bit bands mean 32 buckets/band;
+    * at very large corpora raise `bits` per band (trading guaranteed
+    * distance for bucket size) or second-level split hot buckets — the
+    * exact verification stage is candidates-only either way. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 11): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val sh = udf((t: String) => simhash(t.trim.split("\\s+").toSeq))
     val sigs = docs.select(col("doc_id"), sh(col("text")).as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"), posexplode(
-      array((0 until 4).map(b =>
-        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+      array((0 until 12).map(b =>
+        shiftright(col("sig"), b * 5).bitwiseAND(lit(0x1fL))): _*))
       .as(Seq("band", "bkey")))
     val popcnt = udf((x: Long) => java.lang.Long.bitCount(x))
     banded.as("a").join(banded.as("b"),
@@ -163,14 +168,87 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Simhash near-dup pairs, exact-verified (driver query
+    * `dedup_simhash`): band blocking proposes candidates within hamming
+    * distance `maxDist`, then each candidate pair is verified with the
+    * exact n-gram Jaccard — same output contract as [[ngramJaccard]], so
+    * the independent SQL oracle can recompute the expected pairs. A
+    * blocking recall regression (a true near-dup pair whose simhash
+    * drifts past `maxDist`) surfaces as a row-count mismatch. */
+  def simhashNearDup(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                     maxDist: Int = 11): DataFrame = {
+    val cand = simhashPairs(docs, maxDist).select(col("ida"), col("idb"))
+    val s = shingles(docs, n)
+    val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val shared = s.select(col("doc_id").as("ida"), col("gram"))
+      .join(cand, "ida")
+      .join(s.select(col("doc_id").as("idb"), col("gram")), Seq("idb", "gram"))
+      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("ida"), col("sz").as("na")), "ida")
+      .join(sizes.select(col("doc_id").as("idb"), col("sz").as("nb")), "idb")
+      .withColumn("jaccard",
+        col("shared") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ida"), col("idb"), col("jaccard"))
+  }
+
+  // --- embedding near-dup ----------------------------------------------------
+
+  /** Embedding near-dup pairs via random-hyperplane LSH blocking
+    * (driver query `dedup_embedding` — the scale path): each vector gets
+    * `bands` bucket keys of `bits` sign bits; candidate pairs share at
+    * least one (band, key) bucket; candidates are verified with the
+    * exact codegen'd cosine. No side is ever collected or broadcast
+    * whole — the self-join is distributed on the bucket key, and bucket
+    * population is bounded by the band width. The brute
+    * [[embeddingCosine]] remains the verification oracle. */
+  def embeddingNearDupLsh(emb: DataFrame, threshold: Double = 0.5,
+                          bits: Int = 4, bands: Int = 16): DataFrame = {
+    val spark = emb.sparkSession
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val planes = spark.sparkContext.broadcast(
+      Ann.hyperplanes(dim, bits * bands, seed = 11L))
+    val keysUdf = udf((v: Seq[Double]) => {
+      val ps = planes.value
+      (0 until bands).map { b =>
+        var key = 0
+        var i = 0
+        while (i < bits) {
+          val p = ps(b * bits + i)
+          var d = 0.0; var j = 0
+          while (j < p.length && j < v.length) { d += v(j) * p(j); j += 1 }
+          if (d >= 0) key |= (1 << i)
+          i += 1
+        }
+        key
+      }
+    })
+    val vecs = emb.select(col("vec_id").cast("long").as("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val banded = vecs.select(col("vec_id"),
+      posexplode(keysUdf(col("v"))).as(Seq("band", "bkey")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
+      .distinct()
+    cand
+      .join(vecs.select(col("vec_id").as("ida"), col("v").as("va")), "ida")
+      .join(vecs.select(col("vec_id").as("idb"), col("v").as("vb")), "idb")
+      .filter(graft.plans.Functions.cosineSim(col("va"), col("vb")) >= threshold)
+      .select(col("ida"), col("idb"))
+  }
+
   /** Embedding near-dup pairs: cosine >= threshold over all pairs.
     * Brute-force baseline: one side is broadcast as a normalized
     * primitive matrix (the same memory contract as a broadcast-hash
     * join), the other stays distributed — each row scans the broadcast
     * side with a tight primitive-array dot product instead of a
     * nested-loop join over per-row array expressions. Valid while one
-    * side fits in executor memory; the LSH-bucketed scale path is in
-    * [[graft.datapipe.Ann]]. */
+    * side fits in executor memory; at scale this is demoted to oracle
+    * duty — the shipped `dedup_embedding` operator is
+    * [[embeddingNearDupLsh]]. */
   def embeddingCosine(emb: DataFrame, threshold: Double = 0.5): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._

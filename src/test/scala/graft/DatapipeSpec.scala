@@ -29,10 +29,35 @@ class DatapipeSpec extends SparkSpec {
       (ida, sa) <- sigs; (idb, sb) <- sigs if ida < idb
       if java.lang.Long.bitCount(sa ^ sb) <= 3
     } yield (ida, idb)).toSet
-    val banded = Dedup.simhashPairs(docs)
+    val banded = Dedup.simhashPairs(docs, maxDist = 3)
       .select("ida", "idb").as[(Long, Long)].collect().toSet
     assert(banded === brute)
     assert(brute.nonEmpty, "exact duplicates must collide")
+  }
+
+  test("simhash near-dup (blocking + exact verify) equals brute n-gram Jaccard here") {
+    val brute = Dedup.ngramJaccard(docs, threshold = 0.8)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val sh = Dedup.simhashNearDup(docs, threshold = 0.8)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(sh === brute)
+  }
+
+  test("embedding LSH near-dup finds exactly the brute-force cosine pairs here") {
+    val brute = Dedup.embeddingCosine(emb)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDupLsh(emb)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(lsh === brute)
+  }
+
+  test("recall gates: every query passes at the shipped parameters") {
+    val lshGate = Ann.lshRecallGate(emb, nQueries = 5)
+      .as[(Long, Boolean)].collect().toMap
+    assert(lshGate.size === 5 && lshGate.values.forall(identity))
+    val ivfGate = Ann.ivfRecallGate(emb, nQueries = 5)
+      .as[(Long, Boolean)].collect().toMap
+    assert(ivfGate.size === 5 && ivfGate.values.forall(identity))
   }
 
   test("ann LSH neighbors within a query's bucket agree with brute force ranks") {
