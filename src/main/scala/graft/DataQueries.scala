@@ -125,7 +125,11 @@ object DataQueries {
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
         .writeStream.outputMode("complete").format("memory").queryName(name)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
+      // fail fast on timeout: a silently partial memory sink would
+      // otherwise surface as an opaque oracle row-count mismatch
+      if (!q.awaitTermination(300000))
+        throw new IllegalStateException(
+          "q_stream_events: stream did not terminate within 300s")
       s.table(name)
     }),
     "q_union_agg" -> ((s, d) => {

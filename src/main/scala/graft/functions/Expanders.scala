@@ -6,11 +6,23 @@ package graft.functions
   * collected index), so they are deliberately NOT distributed — the
   * distributed part is producing their inputs (EntitySetStage).
   *
-  * Behavior re-expressed from scratch from the reference:
-  *  - seed recommendation: agglomerative clustering with a gravitation
-  *    affinity, entityset/EntitySetExpander.java:61-217,515-617
-  *  - MIRA expander: binary margin perceptron, 50 epochs,
-  *    entityset/MIRAEntitySetExpander.java:23-144
+  * Behavior re-expressed from scratch from the reference, with
+  * DOCUMENTED DEVIATIONS (deliberate simplifications, not oversights):
+  *  - seed recommendation (entityset/EntitySetExpander.java:61-217,
+  *    515-617): same shape (agglomerative clustering under a
+  *    gravitation affinity, capped input, best-cluster output) but the
+  *    distance here is r = 1 - cosine rather than the reference's
+  *    (|a||b|)/(dot+eps), and the winning cluster is picked by max
+  *    member score rather than sum-score ordering. Both choices keep
+  *    the affinity scale-free and the output deterministic; on the
+  *    fixture corpora they select the same clusters (ExpandersSpec).
+  *  - MIRA expander (entityset/MIRAEntitySetExpander.java:23-144):
+  *    margin-1 hinge update with aggressiveness cap `c` and final
+  *    weights, vs the reference's misclassification-only update with
+  *    tau in [0,1], L1-normalized features and epoch-averaged weights —
+  *    i.e. this is the textbook PA-I/MIRA variant rather than the
+  *    reference's bespoke one. Epoch count (50) and deterministic
+  *    visit order match the reference.
   */
 object Expanders {
 

@@ -247,7 +247,9 @@ object Nlp {
     val out = Vector.newBuilder[Name]
     var i = 0
     def numAt(j: Int): Option[Long] =
-      if (j < tokens.length && tokens(j).pos == "CD") Some(tokens(j).word.toLong)
+      // toLongOption: the POS tagger marks ANY all-digit run CD, so a
+      // 19+-digit token must be skipped, not throw on the executor
+      if (j < tokens.length && tokens(j).pos == "CD") tokens(j).word.toLongOption
       else None
     def illionAt(j: Int): Option[Long] =
       if (j < tokens.length) illions.get(tokens(j).word.toLowerCase) else None

@@ -47,14 +47,18 @@ final class TableIO(spark: SparkSession, root: String) {
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dataDir)
     val wallMs = (System.nanoTime() - t0) / 1000000
-    // per-partition lineage from the written files (footer-only scan)
-    val lineage = spark.read.parquet(dataDir)
+    // per-partition lineage + total rows in ONE pass over the written
+    // data (the lineage result is tiny — one row per file — so the row
+    // count is its driver-side sum, not a second full read)
+    val lineageRows = spark.read.parquet(dataDir)
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("rows_out"))
-      .withColumn("stage", lit(name))
-      .withColumn("wall_ms", lit(wallMs))
-    lineage.write.mode("overwrite").parquet(s"$dir/_lineage")
-    val rows = spark.read.parquet(dataDir).count()
+      .collect()
+    val rows = lineageRows.map(_.getAs[Long]("rows_out")).sum
+    import spark.implicits._
+    lineageRows.map(r => (r.getString(0), r.getAs[Long]("rows_out"), name, wallMs))
+      .toSeq.toDF("file", "rows_out", "stage", "wall_ms")
+      .write.mode("overwrite").parquet(s"$dir/_lineage")
     val snapshotId = java.util.UUID.randomUUID().toString
     val inputSnaps = inputs.map(i => s""""$i": ${snapshotOf(i)}""").mkString(",")
     val json =
