@@ -234,6 +234,47 @@ object OracleSql {
        |  SELECT 'visit nsubj:PERSON dobj:GPE' FROM bb WHERE ri = 2
        |) GROUP BY 1""".stripMargin
 
+  /** Event instance counts: keys keep the (lemmatized) argument VALUES —
+    * filler events carry their noun pair, visit events the person last
+    * name + city surface (lowercased by lemma()). */
+  val kgEventInstances: String =
+    s"""$baseCte
+       |SELECT key, count(*) AS cnt FROM (
+       |  SELECT ($fvLemmasL)[CAST((d.doc_id*23) % 4 AS INT)+1] || ' nsubj:' ||
+       |         ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] || ' dobj:' ||
+       |         ($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1] AS key
+       |  FROM documents d WHERE d.doc_id % 2 = 0
+       |  UNION ALL
+       |  SELECT 'visit nsubj:' || lower(string_split(($personsL)[pi+1], ' ')[2]) ||
+       |         ' dobj:' ||
+       |         lower(CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END)
+       |  FROM bb WHERE ri = 2
+       |) GROUP BY 1""".stripMargin
+
+  /** Event repr table: one linearized English-ish repr + first example
+    * per type key. On this grammar each type key determines its repr, so
+    * the shorter-repr merge is exercised in unit tests and trivially
+    * consistent here. */
+  val kgEventRepr: String =
+    s"""$baseCte
+       |SELECT key, repr, min(example) AS example FROM (
+       |  SELECT ($fvLemmasL)[CAST((d.doc_id*23) % 4 AS INT)+1] || ' nsubj:' ||
+       |         ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] || ' dobj:' ||
+       |         ($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1] AS key,
+       |         ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] || ' ' ||
+       |         ($fvLemmasL)[CAST((d.doc_id*23) % 4 AS INT)+1] || ' ' ||
+       |         ($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1] AS repr,
+       |         'The ' || ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] || ' ' ||
+       |         ($fverbsL)[CAST((d.doc_id*23) % 4 AS INT)+1] || ' the ' ||
+       |         ($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1] || '.' AS example
+       |  FROM documents d WHERE d.doc_id % 2 = 0
+       |  UNION ALL
+       |  SELECT 'visit nsubj:PERSON dobj:GPE', 'person visit gpe',
+       |         ($personsL)[pi+1] || ' ' || ($phrasesL)[ri] || ' ' ||
+       |         CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END || '.'
+       |  FROM bb WHERE ri = 2
+       |) GROUP BY 1, 2""".stripMargin
+
   /** Event triples: filler sentences (even ids) yield
     * (n1, filler-verb-lemma, n2); 'visited' main sentences (ri=2) yield
     * (lemma of person head token, visit, lemma of city surface). */

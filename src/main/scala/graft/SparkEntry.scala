@@ -33,6 +33,8 @@ object SparkEntry {
     "kg_entity_expansion" -> ((s, dir) => KgPipeline.entityExpansion(s, dir)),
     "kg_bootstrap_scores" -> ((s, dir) => KgPipeline.bootstrapScores(s, dir)),
     "kg_events" -> ((s, dir) => KgPipeline.events(s, dir)),
+    "kg_event_instances" -> ((s, dir) => KgPipeline.eventInstances(s, dir)),
+    "kg_event_repr" -> ((s, dir) => KgPipeline.eventRepr(s, dir)),
     "kg_event_triples" -> ((s, dir) => KgPipeline.eventTriples(s, dir)),
     "kg_rules" -> ((s, dir) => KgPipeline.rulesTable(s, dir)),
     "kg_triples_soft" -> ((s, dir) => KgPipeline.triplesSoft(s, dir)),
@@ -62,6 +64,8 @@ object SparkEntry {
     "kg_entity_expansion" -> OracleSql.kgEntityExpansion,
     "kg_bootstrap_scores" -> OracleSql.kgBootstrapScores,
     "kg_events" -> OracleSql.kgEvents,
+    "kg_event_instances" -> OracleSql.kgEventInstances,
+    "kg_event_repr" -> OracleSql.kgEventRepr,
     "kg_event_triples" -> OracleSql.kgEventTriples,
     "kg_rules" -> OracleSql.kgRules,
     "kg_triples_soft" -> OracleSql.kgTriplesSoft,

@@ -6,10 +6,12 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** One verb-headed event subtree (IceTree, events/IceTree.java:18-70):
-  * trigger lemma + role-typed arguments, plus the canonical string key
-  * (IceTree.java:403-426). */
+  * trigger lemma + role-typed arguments, the canonical type-signature
+  * key (IceTree.java:403-426), the instance key (arg values kept), and
+  * the source sentence as the example. */
 final case class EventRow(doc_id: String, trigger: String,
-                          args: Seq[EventArg], key: String)
+                          args: Seq[EventArg], key: String,
+                          instance_key: String, example: String)
 final case class EventArg(role: String, etype: String, value: String)
 
 /** Stage: event (tree) extraction (X6/X7, IceTree.java:283-470).
@@ -52,22 +54,61 @@ object EventsStage {
               EventArg(role, ety, Nlp.lemma(a.tgtWord))
             }
             val trig = Nlp.lemma(s.tokens(v).word)
-            val key = trig + " " + args.map { g =>
-              val v2 = if (g.etype != "OTHER") g.etype else g.value
-              s"${g.role}:$v2"
-            }.mkString(" ")
-            Some(EventRow(d.doc_id, trig, args, key))
+            def render(g: EventArg, typed: Boolean) =
+              s"${g.role}:${if (typed && g.etype != "OTHER") g.etype else g.value}"
+            val key = trig + " " + args.map(render(_, typed = true)).mkString(" ")
+            val instKey = trig + " " + args.map(render(_, typed = false)).mkString(" ")
+            Some(EventRow(d.doc_id, trig, args, key, instKey, s.text))
           }
         }
       }
     }
   }
 
-  /** `events` count table (A1-analog for trees, DepPaths.java:564-583),
-    * via the salted two-phase helper (trigger keys are Zipf-hot too). */
+  /** `events` count table — instance keys, arg values kept (the
+    * reference's eventInstanceCounts leg, DepPaths.java:564-583) — via
+    * the salted two-phase helper (trigger keys are Zipf-hot too). */
+  def eventInstanceCounts(ev: Dataset[EventRow]): DataFrame =
+    graft.functions.Salting.saltedCount(
+      ev.toDF().select(col("instance_key").as("key")), Seq("key"))
+
+  /** `event_types` count table — type-signature keys (the reference's
+    * eventTypeCounts leg). */
   def eventCounts(ev: Dataset[EventRow]): DataFrame =
     graft.functions.Salting.saltedCount(
       ev.toDF().select(col("key")), Seq("key"))
+
+  /** Linearize an event tree into an English-ish repr
+    * (events/DepTreeMap.java linearization contract): subject, trigger,
+    * object, then any further roles in sentence order of the key —
+    * typed args render as their entity type, untyped keep their value;
+    * lowercased like path reprs (DepPathMap.java:231-234). */
+  def eventRepr(trigger: String, args: Seq[EventArg]): String = {
+    def valOf(role: String): Option[String] =
+      args.find(_.role == role)
+        .map(g => if (g.etype != "OTHER") g.etype else g.value)
+    val rest = args.filterNot(g => g.role == "nsubj" || g.role == "dobj")
+      .map { g =>
+        val p = if (g.role.startsWith("prep_")) g.role.stripPrefix("prep_") + " "
+                else ""
+        p + (if (g.etype != "OTHER") g.etype else g.value)
+      }
+    val parts = valOf("nsubj").toSeq ++ Seq(trigger) ++ valOf("dobj").toSeq ++ rest
+    graft.functions.Paths.normalizeRepr(parts.mkString(" "))
+  }
+
+  /** `event_repr` table: one repr + example per type key; merge prefers
+    * the shorter repr with a total tiebreak (the same shorter-repr merge
+    * as path reprs, events/DepTreeMap.java:118-129 + IceCLI.java:656-665). */
+  def eventReprTable(ev: Dataset[EventRow]): DataFrame = {
+    import ev.sparkSession.implicits._
+    ev.map(e => (e.key, eventRepr(e.trigger, e.args), e.example))
+      .toDF("key", "repr", "example")
+      .groupBy(col("key"))
+      .agg(min(struct(length(col("repr")).as("l"), col("repr").as("r")))
+             .getField("r").as("repr"),
+           min(col("example")).as("example"))
+  }
 
   /** Event triples: (subject value, trigger lemma, object value) from
     * each verb-headed tree — the event-flavored counterpart of the

@@ -121,6 +121,12 @@ object KgPipeline {
   def events(spark: SparkSession, sfDir: String): DataFrame =
     EventsStage.eventCounts(EventsStage.events(annotated(spark, sfDir)))
 
+  def eventInstances(spark: SparkSession, sfDir: String): DataFrame =
+    EventsStage.eventInstanceCounts(EventsStage.events(annotated(spark, sfDir)))
+
+  def eventRepr(spark: SparkSession, sfDir: String): DataFrame =
+    EventsStage.eventReprTable(EventsStage.events(annotated(spark, sfDir)))
+
   def eventTriples(spark: SparkSession, sfDir: String): DataFrame =
     EventsStage.eventTriples(EventsStage.events(annotated(spark, sfDir)))
 
