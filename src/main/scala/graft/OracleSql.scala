@@ -41,40 +41,125 @@ object OracleSql {
        |  FROM b
        |)""".stripMargin
 
+  /** Extra-sentence derivations (Gen.extraSentence): tour (k7=1), money
+    * (k7=3), marriage (k7=5). Appended after [[baseCte]]. */
+  val xtraCte: String =
+    s""",
+       |x AS (
+       |  SELECT d.doc_id AS id, d.doc_id % 7 AS k7,
+       |         CAST((d.doc_id*13) % 40 AS INT) AS tpi,
+       |         CAST((d.doc_id*17) % 25 AS INT) AS tgi,
+       |         (d.doc_id % 9 = 0) AS tal,
+       |         CAST((d.doc_id*29) % 40 AS INT) AS mpi,
+       |         d.doc_id % 9 + 1 AS amt,
+       |         CAST((d.doc_id*31) % 40 AS INT) AS w1,
+       |         CAST((d.doc_id*37 + 11) % 40 AS INT) AS w2r
+       |  FROM documents d WHERE d.doc_id % 7 IN (1, 3, 5)
+       |),
+       |xx AS (SELECT *, CASE WHEN w2r % 20 = w1 % 20
+       |                      THEN (w2r+1) % 40 ELSE w2r END AS w2 FROM x)""".stripMargin
+
+  // surface-form snippets for the extra sentences
+  private val tourPerson = s"($personsL)[tpi+1]"
+  private val tourGpe =
+    s"CASE WHEN tal THEN ($aliasesL)[tgi+1] ELSE ($gpesL)[tgi+1] END"
+  private val tourGpeCanon = s"($gpesL)[tgi+1]"
+  private val moneyPerson = s"($personsL)[mpi+1]"
+  private val moneyObj = "'$ ' || amt || ' million'"
+  private val moneyVal = "CAST(amt * 10000 AS VARCHAR)"
+  private val sp1 = s"($personsL)[w1+1]"
+  private val sp2 = s"($personsL)[w2+1]"
+  private def lastOf(p: String) = s"lower(string_split($p, ' ')[2])"
+  private val tourText = s"$tourPerson || ' toured ' || $tourGpe || '.'"
+  private val moneyText =
+    s"$moneyPerson || ' paid $$' || amt || ' million.'"
+  private val marryText = s"$sp1 || ' married ' || $sp2 || '.'"
+
+  /** Tour sentences soft-match the `visited` rule (one word substitution,
+    * 0.8/3 < 0.5 threshold) — the nearest rule deterministically. */
   val kgTriples: String =
-    s"""$baseCte
+    s"""$baseCte$xtraCte
        |SELECT CAST(id AS VARCHAR) AS doc_id,
        |  ($personsL)[pi+1] AS subj,
        |  ($predsL)[ri] AS pred,
        |  CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END AS obj
-       |FROM bb""".stripMargin
+       |FROM bb
+       |UNION ALL
+       |SELECT CAST(id AS VARCHAR), $tourPerson, 'visited', $tourGpe
+       |FROM xx WHERE k7 = 1""".stripMargin
 
   val kgCanonicalTriples: String =
-    s"""$baseCte
+    s"""$baseCte$xtraCte
        |SELECT CAST(id AS VARCHAR) AS doc_id,
        |  ($personsL)[pi+1] AS subj,
        |  ($predsL)[ri] AS pred,
        |  CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END AS obj,
        |  ($personsL)[pi+1] AS canonical_subj,
        |  ($gpesL)[gi+1] AS canonical_obj
-       |FROM bb""".stripMargin
+       |FROM bb
+       |UNION ALL
+       |SELECT CAST(id AS VARCHAR), $tourPerson, 'visited', $tourGpe,
+       |       $tourPerson, $tourGpeCanon
+       |FROM xx WHERE k7 = 1""".stripMargin
 
   val kgPathTypes: String =
-    s"""$baseCte
-       |SELECT 'PERSON' AS type1, ($pathsL)[ri] AS path, 'GPE' AS type2,
-       |       count(*) AS cnt
-       |FROM bb GROUP BY 1, 2, 3""".stripMargin
+    s"""$baseCte$xtraCte
+       |SELECT type1, path, type2, count(*) AS cnt FROM (
+       |  SELECT 'PERSON' AS type1, ($pathsL)[ri] AS path, 'GPE' AS type2 FROM bb
+       |  UNION ALL SELECT 'PERSON', 'nsubj-1:tour:dobj', 'GPE' FROM xx WHERE k7 = 1
+       |  UNION ALL SELECT 'PERSON', 'nsubj-1:pay:dobj', 'MONEY' FROM xx WHERE k7 = 3
+       |  UNION ALL SELECT 'PERSON(1)', 'nsubj-1:marry:dobj', 'PERSON(2)' FROM xx WHERE k7 = 5
+       |) GROUP BY 1, 2, 3""".stripMargin
 
   val kgPathInstances: String =
-    s"""$baseCte
-       |SELECT ($personsL)[pi+1] AS arg1,
-       |       ($pathsL)[ri] AS path,
-       |       CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END AS arg2,
-       |       count(*) AS cnt,
-       |       min(($personsL)[pi+1] || ' ' || ($phrasesL)[ri] || ' ' ||
-       |           CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END
-       |           || '.') AS example
-       |FROM bb GROUP BY 1, 2, 3""".stripMargin
+    s"""$baseCte$xtraCte
+       |SELECT arg1, path, arg2, count(*) AS cnt, min(example) AS example FROM (
+       |  SELECT ($personsL)[pi+1] AS arg1,
+       |         ($pathsL)[ri] AS path,
+       |         CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END AS arg2,
+       |         ($personsL)[pi+1] || ' ' || ($phrasesL)[ri] || ' ' ||
+       |         CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END
+       |         || '.' AS example
+       |  FROM bb
+       |  UNION ALL SELECT $tourPerson, 'nsubj-1:tour:dobj', $tourGpe, $tourText
+       |  FROM xx WHERE k7 = 1
+       |  UNION ALL SELECT $moneyPerson, 'nsubj-1:pay:dobj', $moneyObj, $moneyText
+       |  FROM xx WHERE k7 = 3
+       |  UNION ALL SELECT $sp1, 'nsubj-1:marry:dobj', $sp2, $marryText
+       |  FROM xx WHERE k7 = 5
+       |) GROUP BY 1, 2, 3""".stripMargin
+
+  val kgValueTriples: String =
+    s"""$baseCte$xtraCte
+       |SELECT CAST(id AS VARCHAR) AS doc_id, $moneyPerson AS subj,
+       |       'paid' AS pred, $moneyObj AS obj, $moneyVal AS value
+       |FROM xx WHERE k7 = 3""".stripMargin
+
+  val kgSymmetricTriples: String =
+    s"""$baseCte$xtraCte
+       |SELECT CAST(id AS VARCHAR) AS doc_id, $sp2 AS subj,
+       |       'marriedBy' AS pred, $sp1 AS obj
+       |FROM xx WHERE k7 = 5""".stripMargin
+
+  /** Event bootstrap from visit seeds: the only trigger sharing
+    * (person, gpe) argument pairs is `tour`; shared/total over distinct
+    * pairs, score = shared/total * shared/(shared+1). */
+  val kgEventBootstrapScores: String =
+    s"""$baseCte$xtraCte,
+       |vp AS (SELECT DISTINCT ${lastOf(s"($personsL)[pi+1]")} || ':::' ||
+       |              lower(CASE WHEN al THEN ($aliasesL)[gi+1]
+       |                         ELSE ($gpesL)[gi+1] END) AS pair
+       |       FROM bb WHERE ri = 2),
+       |tp AS (SELECT DISTINCT ${lastOf(tourPerson)} || ':::' ||
+       |              lower($tourGpe) AS pair
+       |       FROM xx WHERE k7 = 1),
+       |sh AS (SELECT count(*) AS shared FROM tp JOIN vp ON tp.pair = vp.pair),
+       |tot AS (SELECT count(*) AS total FROM tp)
+       |SELECT 'tour nsubj:PERSON dobj:GPE' AS key, 'tour' AS "trigger",
+       |       sh.shared AS shared, tot.total AS total_count,
+       |       round(sh.shared * 1.0 / tot.total * sh.shared / (sh.shared + 1), 6)
+       |         AS score
+       |FROM sh, tot WHERE sh.shared > 0""".stripMargin
 
   /** Interleaved span sequence (kind, text, media_ref, order) — the
     * per-row invariant, recomputed independently. Span order: optional
@@ -87,7 +172,11 @@ object OracleSql {
     val sentText =
       s"""($personsL)[pi+1] || ' ' || ($phrasesL)[ri] || ' ' ||
          |CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END || '.'""".stripMargin
-    s"""$baseCte
+    val totalMedia =
+      """(CASE WHEN (id + 0) % 4 = 0 THEN 1 ELSE 0 END +
+        | CASE WHEN id % 3 >= 1 AND (id + 1) % 4 = 0 THEN 1 ELSE 0 END +
+        | CASE WHEN id % 3 >= 2 AND (id + 2) % 4 = 0 THEN 1 ELSE 0 END)""".stripMargin
+    s"""$baseCte$xtraCte
        |SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, 0 AS ord,
        |       'text' AS kind,
        |       'The ' || ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] || ' ' ||
@@ -102,7 +191,13 @@ object OracleSql {
        |UNION ALL
        |SELECT CAST(id AS VARCHAR), $filler + s + $mediaBefore + 1,
        |       'media', '', 'm-' || id || '-' || s
-       |FROM bb WHERE (id + s) % 4 = 0""".stripMargin
+       |FROM bb WHERE (id + s) % 4 = 0
+       |UNION ALL
+       |SELECT CAST(id AS VARCHAR), $filler + (id % 3 + 1) + $totalMedia,
+       |       'text',
+       |       CASE k7 WHEN 1 THEN $tourText WHEN 3 THEN $moneyText
+       |               ELSE $marryText END, ''
+       |FROM xx""".stripMargin
   }
 
   private val fvLemmasL = sqlList(Gen.fillVerbLemmas)
@@ -193,23 +288,36 @@ object OracleSql {
        |FROM fg LEFT JOIN bg ON fg.term = bg.term""".stripMargin
 
   val kgPathRank: String =
-    s"""$baseCte,
-       |fg AS (SELECT ($pathsL)[ri] AS path, count(*) AS cnt
-       |       FROM bb WHERE id % 4 = 0 GROUP BY 1),
-       |bg AS (SELECT ($pathsL)[ri] AS path, count(*) AS cnt
-       |       FROM bb WHERE id % 4 = 2 GROUP BY 1)
-       |SELECT 'PERSON' AS type1, fg.path, 'GPE' AS type2,
+    s"""$baseCte$xtraCte,
+       |allp AS (
+       |  SELECT id, 'PERSON' AS type1, ($pathsL)[ri] AS path, 'GPE' AS type2 FROM bb
+       |  UNION ALL SELECT id, 'PERSON', 'nsubj-1:tour:dobj', 'GPE' FROM xx WHERE k7 = 1
+       |  UNION ALL SELECT id, 'PERSON', 'nsubj-1:pay:dobj', 'MONEY' FROM xx WHERE k7 = 3
+       |  UNION ALL SELECT id, 'PERSON(1)', 'nsubj-1:marry:dobj', 'PERSON(2)' FROM xx WHERE k7 = 5
+       |),
+       |fg AS (SELECT type1, path, type2, count(*) AS cnt
+       |       FROM allp WHERE id % 4 = 0 GROUP BY 1, 2, 3),
+       |bg AS (SELECT type1, path, type2, count(*) AS cnt
+       |       FROM allp WHERE id % 4 = 2 GROUP BY 1, 2, 3)
+       |SELECT fg.type1, fg.path, fg.type2,
        |       fg.cnt AS fg_cnt,
        |       round(fg.cnt * ln(fg.cnt) / (coalesce(bg.cnt, 0) + 1), 6) AS score
-       |FROM fg LEFT JOIN bg ON fg.path = bg.path""".stripMargin
+       |FROM fg LEFT JOIN bg ON fg.type1 = bg.type1 AND fg.path = bg.path
+       |                    AND fg.type2 = bg.type2""".stripMargin
 
   val kgBootstrapScores: String =
-    s"""$baseCte,
+    s"""$baseCte$xtraCte,
        |inst AS (
        |  SELECT ($personsL)[pi+1] || ':::' ||
        |         CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END AS arg_pair,
        |         ($pathsL)[ri] AS path
        |  FROM bb
+       |  UNION ALL SELECT $tourPerson || ':::' || $tourGpe, 'nsubj-1:tour:dobj'
+       |  FROM xx WHERE k7 = 1
+       |  UNION ALL SELECT $moneyPerson || ':::' || $moneyObj, 'nsubj-1:pay:dobj'
+       |  FROM xx WHERE k7 = 3
+       |  UNION ALL SELECT $sp1 || ':::' || $sp2, 'nsubj-1:marry:dobj'
+       |  FROM xx WHERE k7 = 5
        |),
        |seed_pairs AS (SELECT DISTINCT arg_pair FROM inst
        |               WHERE path = '${Gen.predPaths(0)}'),
@@ -224,7 +332,7 @@ object OracleSql {
        |WHERE t.path <> '${Gen.predPaths(0)}'""".stripMargin
 
   val kgEvents: String =
-    s"""$baseCte
+    s"""$baseCte$xtraCte
        |SELECT key, count(*) AS cnt FROM (
        |  SELECT ($fvLemmasL)[CAST((d.doc_id*23) % 4 AS INT)+1] || ' nsubj:' ||
        |         ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] || ' dobj:' ||
@@ -232,23 +340,32 @@ object OracleSql {
        |  FROM documents d WHERE d.doc_id % 2 = 0
        |  UNION ALL
        |  SELECT 'visit nsubj:PERSON dobj:GPE' FROM bb WHERE ri = 2
+       |  UNION ALL SELECT 'tour nsubj:PERSON dobj:GPE' FROM xx WHERE k7 = 1
+       |  UNION ALL SELECT 'pay nsubj:PERSON dobj:MONEY' FROM xx WHERE k7 = 3
+       |  UNION ALL SELECT 'marry nsubj:PERSON dobj:PERSON' FROM xx WHERE k7 = 5
        |) GROUP BY 1""".stripMargin
 
   /** Event instance counts: keys keep the (lemmatized) argument VALUES —
     * filler events carry their noun pair, visit events the person last
     * name + city surface (lowercased by lemma()). */
   val kgEventInstances: String =
-    s"""$baseCte
+    s"""$baseCte$xtraCte
        |SELECT key, count(*) AS cnt FROM (
        |  SELECT ($fvLemmasL)[CAST((d.doc_id*23) % 4 AS INT)+1] || ' nsubj:' ||
        |         ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] || ' dobj:' ||
        |         ($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1] AS key
        |  FROM documents d WHERE d.doc_id % 2 = 0
        |  UNION ALL
-       |  SELECT 'visit nsubj:' || lower(string_split(($personsL)[pi+1], ' ')[2]) ||
+       |  SELECT 'visit nsubj:' || ${lastOf(s"($personsL)[pi+1]")} ||
        |         ' dobj:' ||
        |         lower(CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END)
        |  FROM bb WHERE ri = 2
+       |  UNION ALL SELECT 'tour nsubj:' || ${lastOf(tourPerson)} ||
+       |            ' dobj:' || lower($tourGpe) FROM xx WHERE k7 = 1
+       |  UNION ALL SELECT 'pay nsubj:' || ${lastOf(moneyPerson)} ||
+       |            ' dobj:million' FROM xx WHERE k7 = 3
+       |  UNION ALL SELECT 'marry nsubj:' || ${lastOf(sp1)} ||
+       |            ' dobj:' || ${lastOf(sp2)} FROM xx WHERE k7 = 5
        |) GROUP BY 1""".stripMargin
 
   /** Event repr table: one linearized English-ish repr + first example
@@ -256,7 +373,7 @@ object OracleSql {
     * the shorter-repr merge is exercised in unit tests and trivially
     * consistent here. */
   val kgEventRepr: String =
-    s"""$baseCte
+    s"""$baseCte$xtraCte
        |SELECT key, repr, min(example) AS example FROM (
        |  SELECT ($fvLemmasL)[CAST((d.doc_id*23) % 4 AS INT)+1] || ' nsubj:' ||
        |         ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] || ' dobj:' ||
@@ -273,13 +390,19 @@ object OracleSql {
        |         ($personsL)[pi+1] || ' ' || ($phrasesL)[ri] || ' ' ||
        |         CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END || '.'
        |  FROM bb WHERE ri = 2
+       |  UNION ALL SELECT 'tour nsubj:PERSON dobj:GPE', 'person tour gpe',
+       |            $tourText FROM xx WHERE k7 = 1
+       |  UNION ALL SELECT 'pay nsubj:PERSON dobj:MONEY', 'person pay money',
+       |            $moneyText FROM xx WHERE k7 = 3
+       |  UNION ALL SELECT 'marry nsubj:PERSON dobj:PERSON', 'person marry person',
+       |            $marryText FROM xx WHERE k7 = 5
        |) GROUP BY 1, 2""".stripMargin
 
   /** Event triples: filler sentences (even ids) yield
     * (n1, filler-verb-lemma, n2); 'visited' main sentences (ri=2) yield
     * (lemma of person head token, visit, lemma of city surface). */
   val kgEventTriples: String =
-    s"""$baseCte
+    s"""$baseCte$xtraCte
        |SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
        |       ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] AS subj,
        |       ($fvLemmasL)[CAST((d.doc_id*23) % 4 AS INT)+1] AS pred,
@@ -290,7 +413,13 @@ object OracleSql {
        |       lower(string_split(($personsL)[pi+1], ' ')[2]),
        |       'visit',
        |       lower(CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END)
-       |FROM bb WHERE ri = 2""".stripMargin
+       |FROM bb WHERE ri = 2
+       |UNION ALL SELECT CAST(id AS VARCHAR), ${lastOf(tourPerson)}, 'tour',
+       |          lower($tourGpe) FROM xx WHERE k7 = 1
+       |UNION ALL SELECT CAST(id AS VARCHAR), ${lastOf(moneyPerson)}, 'pay',
+       |          'million' FROM xx WHERE k7 = 3
+       |UNION ALL SELECT CAST(id AS VARCHAR), ${lastOf(sp1)}, 'marry',
+       |          ${lastOf(sp2)} FROM xx WHERE k7 = 5""".stripMargin
 
   val kgRules: String =
     s"""$baseCte,
@@ -301,12 +430,15 @@ object OracleSql {
        |FROM p""".stripMargin
 
   val kgTriplesSoft: String =
-    s"""$baseCte
+    s"""$baseCte$xtraCte
        |SELECT CAST(id AS VARCHAR) AS doc_id,
        |  ($personsL)[pi+1] AS subj,
        |  CASE WHEN ri = 6 THEN 'bornIn' ELSE ($predsL)[ri] END AS pred,
        |  CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END AS obj
-       |FROM bb""".stripMargin
+       |FROM bb
+       |UNION ALL
+       |SELECT CAST(id AS VARCHAR), $tourPerson, 'visited', $tourGpe
+       |FROM xx WHERE k7 = 1""".stripMargin
 
   /** Term doc/total frequencies from the filler sentences (A3). */
   val kgTermCounts: String =

@@ -39,6 +39,10 @@ object SparkEntry {
     "kg_rules" -> ((s, dir) => KgPipeline.rulesTable(s, dir)),
     "kg_triples_soft" -> ((s, dir) => KgPipeline.triplesSoft(s, dir)),
     "kg_canonical_triples" -> ((s, dir) => KgPipeline.canonicalTriples(s, dir)),
+    "kg_value_triples" -> ((s, dir) => KgPipeline.valueTriples(s, dir)),
+    "kg_symmetric_triples" -> ((s, dir) => KgPipeline.symmetricTriples(s, dir)),
+    "kg_event_bootstrap_scores" -> ((s, dir) =>
+      KgPipeline.eventBootstrapScores(s, dir)),
     "q1_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -70,6 +74,9 @@ object SparkEntry {
     "kg_rules" -> OracleSql.kgRules,
     "kg_triples_soft" -> OracleSql.kgTriplesSoft,
     "kg_canonical_triples" -> OracleSql.kgCanonicalTriples,
+    "kg_value_triples" -> OracleSql.kgValueTriples,
+    "kg_symmetric_triples" -> OracleSql.kgSymmetricTriples,
+    "kg_event_bootstrap_scores" -> OracleSql.kgEventBootstrapScores,
     "q1_agg" -> """SELECT l_returnflag, l_linestatus,
       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,

@@ -225,7 +225,16 @@ object Paths {
 
   private def nodeWeight(n: String): Double = labelWeights.getOrElse(n, 1.0)
 
-  private def isLabelNode(n: String, idx: Int): Boolean = idx % 2 == 0
+  /** Label-node detection by CONTENT (PathMatcher.java:73-78 penalizes
+    * substitutions involving dependency labels): known dep labels (with
+    * or without `-1`) and the composite endpoint nodes (`TYPE--label`).
+    * Index parity is NOT sufficient — a cross-parity alignment would
+    * otherwise let a label substitute against a word at word cost. */
+  private val depLabelSet = Set("nsubj", "dobj", "iobj", "pobj", "prep",
+    "det", "nn", "vch", "appos", "poss", "conj", "infmod", "purpcl",
+    "rcmod", "advcl", "mod", "amod")
+  private def isLabelNode(n: String): Boolean =
+    n.contains("--") || depLabelSet(n.stripSuffix("-1"))
 
   /** Generalized weighted edit distance over `:`-split path nodes
     * (PathMatcher.java:16-110). Word-similarity hook defaults to exact
@@ -248,8 +257,8 @@ object Paths {
         val x = xs(i - 1); val y = ys(j - 1)
         val sub =
           if (x == y) 0.0
-          else if (isLabelNode(x, i - 1) && isLabelNode(y, j - 1))
-            LabelMismatchPenalty // two different labels (PathMatcher.java:73-78)
+          else if (isLabelNode(x) || isLabelNode(y))
+            LabelMismatchPenalty // any label involved (PathMatcher.java:73-78)
           else
             c.replace * (1.0 - wordSim(x, y)) *
               math.max(nodeWeight(x), nodeWeight(y))
@@ -266,13 +275,17 @@ object Paths {
 
   /** Soft-match decision (PathRelationExtractor.java:82-145): best
     * positive rule under threshold·|rule|, not beaten by the best
-    * same-type negative rule at `NegDiscount`. */
+    * same-type negative rule at `NegDiscount`. `wordSim` threads an
+    * embedding-backed word similarity into the substitution cost. */
   def softMatch(candidate: String,
                 positives: Seq[(String, String)], // (path, relName)
-                negatives: Seq[(String, String)]): Option[String] = {
+                negatives: Seq[(String, String)],
+                wordSim: (String, String) => Double =
+                  (x, y) => if (x == y) 1.0 else 0.0): Option[String] = {
     def best(rules: Seq[(String, String)]): Option[(String, Double)] =
       rules.iterator.map { case (p, r) =>
-        (r, pathEditDistance(candidate, p) / math.max(1, p.split(':').length))
+        (r, pathEditDistance(candidate, p, DefaultCosts, wordSim) /
+          math.max(1, p.split(':').length))
       }.minByOption(t => (t._2, t._1)) // deterministic tie-break on rule name
     best(positives) match {
       case Some((rel, s)) if s < MatchThreshold =>

@@ -32,7 +32,10 @@ object Nlp {
     "is" -> "be", "was" -> "be", "were" -> "be", "are" -> "be",
     "has" -> "have", "have" -> "have", "had" -> "have",
     "mentioned" -> "mention", "praised" -> "praise",
-    "reviewed" -> "review", "criticized" -> "criticize")
+    "reviewed" -> "review", "criticized" -> "criticize",
+    "toured" -> "tour", "tours" -> "tour",
+    "paid" -> "pay", "pays" -> "pay",
+    "married" -> "marry", "marries" -> "marry")
 
   /** auxiliary verbs that start a verb chain (vch) when followed by a verb. */
   private val auxiliaries = Set("is", "was", "were", "are", "has", "have", "had")
@@ -137,22 +140,34 @@ object Nlp {
     var j = main + 1
     while (j < tokens.length && tokens(j).pos == "RB") j += 1
     if (j < tokens.length) {
+      // objects attach to the HEAD of an NNP run (the last token of a
+      // multi-token name), with an nn arc to the modifier — matching the
+      // head-offset convention of Name (reference head alignment,
+      // aceJet/TypedRelationExtractorScorer.java:53-80)
+      def headOfRun(o0: Int): Int = {
+        var o = o0
+        if (tokens(o).pos == "NNP")
+          while (o + 1 < tokens.length && tokens(o + 1).pos == "NNP") o += 1
+        o
+      }
       if (tokens(j).pos == "IN") {
         arcs += mk("prep", main, j)
         val obj = (j + 1 until tokens.length)
           .find(k => tokens(k).pos == "NNP" || tokens(k).pos == "NN")
-        obj.foreach { o =>
+        obj.foreach { o0 =>
+          val o = headOfRun(o0)
           arcs += mk("pobj", j, o)
-          if (o > j + 1 && tokens(o - 1).pos == "DT") arcs += mk("det", o, o - 1)
+          if (o0 > j + 1 && tokens(o0 - 1).pos == "DT") arcs += mk("det", o, o0 - 1)
           if (o > 0 && tokens(o - 1).pos == "NNP" && tokens(o).pos == "NNP")
             arcs += mk("nn", o, o - 1)
         }
       } else {
         val obj = (j until tokens.length)
           .find(k => tokens(k).pos == "NNP" || tokens(k).pos == "NN")
-        obj.foreach { o =>
+        obj.foreach { o0 =>
+          val o = headOfRun(o0)
           arcs += mk("dobj", main, o)
-          if (o > 0 && tokens(o - 1).pos == "DT") arcs += mk("det", o, o - 1)
+          if (o0 > 0 && tokens(o0 - 1).pos == "DT") arcs += mk("det", o, o0 - 1)
           if (o > 0 && tokens(o - 1).pos == "NNP" && tokens(o).pos == "NNP")
             arcs += mk("nn", o, o - 1)
         }
@@ -284,12 +299,18 @@ object Nlp {
     (aStart < bStart && aEnd > bStart && aEnd < bEnd) ||
       (bStart < aStart && bEnd > aStart && bEnd < aEnd)
 
-  /** Full per-sentence analysis. */
+  /** Full per-sentence analysis. Value mentions (F12) are merged into
+    * the mention stream under the crossing guard (F11) — the reference's
+    * addNumberAndTime fold (DepPaths.java:252-256), so MONEY/NUMBER/TIME
+    * arguments reach path mining and event extraction. */
   def analyze(text: String, offset: Int): Sentence = {
     val toks = tokenize(text)
     val names = tagNames(toks)
+    val values = tagValues(toks).filter(v =>
+      names.forall(n => !crosses(v.tokStart, v.tokEnd, n.tokStart, n.tokEnd)))
+    val mentions = (names ++ values).sortBy(_.tokStart)
     val deps = parse(toks)
-    Sentence(text, offset, toks, names, deps, extractTerms(toks, names))
+    Sentence(text, offset, toks, mentions, deps, extractTerms(toks, mentions))
   }
 
   /** Sentence splitter: period boundary (texts in this domain are single

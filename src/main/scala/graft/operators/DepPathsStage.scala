@@ -51,7 +51,10 @@ object DepPathsStage {
               if Paths.arcCount(path) <= Paths.MaxPathArcs
             } {
               val (t1, t2) = typedKey(m1.etype, m2.etype)
-              val repr = Paths.linearize(sent, oNodes, oLabels, m1.etype, m2.etype)
+              // repr endpoints carry the (1)/(2) subscripts for same-type
+              // pairs (DepPathMap reprs do too — that is what swap12
+              // seed resolution keys on, DepPathMap.java:115-120)
+              val repr = Paths.linearize(sent, oNodes, oLabels, t1, t2)
               out += PathInstance(doc.doc_id, si, t1, t2, m1.surface, m2.surface,
                 m1.canonical, m2.canonical, path, repr, sent.text)
             }

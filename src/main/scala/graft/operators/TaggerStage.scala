@@ -24,51 +24,103 @@ final case class RelationRule(type1: String, path: String, type2: String,
 object TaggerStage {
 
   /** Resolve seed English phrases to rules via the path_repr table
-    * (J4, DepPathMap.java:96-109): join tiny seed set against the repr
-    * table on normalized repr (+ the swap12 variant for symmetric
-    * types), then collect the (small) rule set to the driver for
-    * broadcast. */
+    * (J4, DepPathMap.java:96-109): join the tiny seed set against the
+    * repr table on normalized repr, PLUS the swap12 variant for
+    * symmetric-type paths (F16, DepPathMap.java:115-120) — a seed
+    * phrase written in the swapped argument order resolves to the same
+    * path with `invert = true` (the reference's `-1` subtype decode,
+    * IceRelation.java:144-153). The swapped leg is suppressed when
+    * swap12 is the identity (no subscripts), so asymmetric-type rules
+    * are not duplicated. The (small) rule set is collected to the
+    * driver for broadcast. */
   def rulesFromSeeds(spark: SparkSession, pathRepr: DataFrame,
                      seeds: Map[String, String]): Seq[RelationRule] = {
     import spark.implicits._
     val seedDf = seeds.toSeq.toDF("relName", "seedRepr")
       .withColumn("seedRepr", lower(regexp_replace(col("seedRepr"), "\\s+", " ")))
-    val joined = pathRepr
-      .join(broadcast(seedDf), col("repr") === col("seedRepr"))
-      .select("type1", "path", "type2", "relName")
+    // swap12 as a column expression: (1) <-> (2) via a placeholder
+    val swapped = regexp_replace(regexp_replace(regexp_replace(
+      col("repr"), "\\(1\\)", "(#)"), "\\(2\\)", "(1)"), "\\(#\\)", "(2)")
+    val joined = pathRepr.withColumn("swap_repr", swapped)
+      .join(broadcast(seedDf),
+        col("repr") === col("seedRepr") ||
+          (col("swap_repr") === col("seedRepr") && col("repr") =!= col("seedRepr")))
+      .select(col("type1"), col("path"), col("type2"), col("relName"),
+        (col("repr") =!= col("seedRepr")).as("invert"))
     joined.collect().map { r =>
       RelationRule(r.getString(0), r.getString(1), r.getString(2),
-        r.getString(3), invert = false, positive = true)
+        r.getString(3), invert = r.getBoolean(4), positive = true)
     }.toSeq
   }
 
+  /** The broadcastable decode state: exact rule map + soft/neg rule
+    * lists (J7/J8). */
+  private def ruleState(rules: Seq[RelationRule])
+      : (Map[(String, String, String), RelationRule],
+         Seq[(String, String)], Seq[(String, String)]) = {
+    val pos = rules.filter(_.positive)
+    val exact = pos.map(r => (r.type1, r.path, r.type2) -> r).toMap
+    val soft = pos.map(r => (s"${r.type1}--${r.path}--${r.type2}", r.relName))
+    val neg = rules.filterNot(_.positive)
+      .map(r => (s"${r.type1}--${r.path}--${r.type2}", r.relName))
+    (exact, soft, neg)
+  }
+
+  /** Decode one candidate against the rule state: exact hash lookup
+    * first, weighted-edit-distance soft match as fallback. Returns
+    * (relName, invert). */
+  private def decode(c: PathInstance,
+                     state: (Map[(String, String, String), RelationRule],
+                             Seq[(String, String)], Seq[(String, String)]),
+                     wordSim: (String, String) => Double)
+      : Option[(String, Boolean)] = {
+    val (exact, soft, neg) = state
+    val simplified = Paths.simplifyForTagging(c.path)
+    exact.get((c.type1, simplified, c.type2)) match {
+      case Some(r) => Some((r.relName, r.invert))
+      case None =>
+        Paths.softMatch(s"${c.type1}--$simplified--${c.type2}", soft, neg,
+            wordSim)
+          .map(rel => (rel, false))
+    }
+  }
+
+  private val exactSim: (String, String) => Double =
+    (x, y) => if (x == y) 1.0 else 0.0
+
   /** Tag candidate path instances against broadcast rules and emit
     * triples. Exact match first; soft match (threshold 0.5, neg-rule
-    * discount 0.8) as fallback. A narrow map stage — no shuffle. */
+    * discount 0.8) as fallback — `wordSim` plugs an embedding-backed
+    * word similarity into the soft matcher's substitution cost
+    * (PathMatcher.java:16-110). A narrow map stage — no shuffle. */
   def triples(candidates: Dataset[PathInstance],
-              rules: Seq[RelationRule]): Dataset[Triple] = {
+              rules: Seq[RelationRule],
+              wordSim: (String, String) => Double = exactSim): Dataset[Triple] = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast {
-      val pos = rules.filter(_.positive)
-      val exact = pos.map(r => (r.type1, r.path, r.type2) -> r).toMap
-      val soft = pos.map(r => (s"${r.type1}--${r.path}--${r.type2}", r.relName))
-      val neg = rules.filterNot(_.positive)
-        .map(r => (s"${r.type1}--${r.path}--${r.type2}", r.relName))
-      (exact, soft, neg)
-    }
+    val bc = spark.sparkContext.broadcast(ruleState(rules))
     candidates.flatMap { c =>
-      val (exact, soft, neg) = bc.value
-      val simplified = Paths.simplifyForTagging(c.path)
-      val hit = exact.get((c.type1, simplified, c.type2)) match {
-        case Some(r) => Some((r.relName, r.invert))
-        case None =>
-          Paths.softMatch(s"${c.type1}--$simplified--${c.type2}", soft, neg)
-            .map(rel => (rel, false))
-      }
-      hit.map { case (rel, invert) =>
+      decode(c, bc.value, wordSim).map { case (rel, invert) =>
         if (invert) Triple(c.doc_id, c.arg2, rel, c.arg1)
         else Triple(c.doc_id, c.arg1, rel, c.arg2)
+      }
+    }
+  }
+
+  /** Like [[triples]] but keeps the canonical argument forms — value
+    * mentions decode to their normalized numeric value (F12), names to
+    * their gazetteer canonical. */
+  def triplesWithCanon(candidates: Dataset[PathInstance],
+                       rules: Seq[RelationRule],
+                       wordSim: (String, String) => Double = exactSim)
+      : Dataset[CanonTriple] = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(ruleState(rules))
+    candidates.flatMap { c =>
+      decode(c, bc.value, wordSim).map { case (rel, invert) =>
+        if (invert) CanonTriple(c.doc_id, c.arg2, rel, c.arg1, c.canon2, c.canon1)
+        else CanonTriple(c.doc_id, c.arg1, rel, c.arg2, c.canon1, c.canon2)
       }
     }
   }

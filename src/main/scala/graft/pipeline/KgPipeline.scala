@@ -153,6 +153,47 @@ object KgPipeline {
     Canonicalize.canonicalTriples(triples(spark, sfDir),
       graft.nlp.Nlp.gpeCanonical).toDF()
 
+  /** Value-mention triples (F12 end-to-end): PERSON—paid—MONEY paths
+    * tagged by a dedicated seed; the MONEY argument decodes both as its
+    * surface and its normalized numeric value (canonical). Reference
+    * behavior: DepPaths.java:252-256 + IcePreprocessor.java:572-658. */
+  def valueTriples(spark: SparkSession, sfDir: String): DataFrame = {
+    val inst = instances(spark, sfDir).filter(col("type2") === "MONEY")
+      .persist()
+    val repr = DepPathsStage.pathReprTable(inst)
+    val rules = TaggerStage.rulesFromSeeds(spark, repr,
+      Map("paid" -> "person paid money"))
+    TaggerStage.triplesWithCanon(inst, rules).toDF()
+      .select(col("doc_id"), col("subj"), col("pred"), col("obj"),
+        col("canonical_obj").as("value"))
+  }
+
+  /** Symmetric-relation triples via swap12 (F16 end-to-end): the seed
+    * phrase is written in the SWAPPED argument order, so it can only
+    * resolve through the swap12 join leg and decodes with
+    * invert = true — subj/obj come out reversed relative to the mined
+    * instance order (the reference's `-1` subtype,
+    * DepPathMap.java:115-120 + IceRelation.java:144-153). */
+  def symmetricTriples(spark: SparkSession, sfDir: String): DataFrame = {
+    val inst = instances(spark, sfDir)
+      .filter(col("type1") === "PERSON(1)" && col("type2") === "PERSON(2)")
+      .persist()
+    val repr = DepPathsStage.pathReprTable(inst)
+    val rules = TaggerStage.rulesFromSeeds(spark, repr,
+      Map("marriedBy" -> "person(2) married person(1)"))
+    require(rules.forall(_.invert),
+      "symmetric seed must resolve through the swap12 leg")
+    TaggerStage.triples(inst, rules).toDF()
+  }
+
+  /** Event-tree bootstrap scores (events/EventBootstrap.java flow),
+    * seeded with the visit PERSON/GPE trees; tour trees share their
+    * (person, gpe) argument pairs. */
+  def eventBootstrapScores(spark: SparkSession, sfDir: String): DataFrame =
+    EventBootstrapStage.sharedArgScores(
+      EventsStage.events(annotated(spark, sfDir)),
+      seedTriggers = Set("visit"), seedType1 = "PERSON", seedType2 = "GPE")
+
   /** Materialized end-to-end run with snapshot/manifest commits: every
     * stage writes through TableIO; a rerun (after a kill) skips every
     * stage whose snapshot is committed and recomputes only the rest. */

@@ -82,6 +82,49 @@ object Gen {
   def fillerSentence(id: Long): String =
     s"The ${fillerNoun1(id)} ${fillerVerb(id)} the ${fillerNoun2(id)}."
 
+  // --- extra sentence slot (appended after all base spans) -----------------
+  // id % 7 == 1: "P toured G."        — a second dobj predicate over the
+  //   SAME (person, gpe) formulas as sentence s=0, so tour trees share
+  //   argument pairs with visit trees (exercises the event bootstrap)
+  // id % 7 == 3: "P paid $K million." — value mentions (F12): the MONEY
+  //   arg reaches path mining and the tagger
+  // id % 7 == 5: "P1 married P2."     — a symmetric PERSON-PERSON
+  //   predicate (exercises (1)/(2) subscripts + swap12 seed resolution)
+
+  def extraKind(id: Long): Int = (id % 7) match {
+    case 1 => 1; case 3 => 2; case 5 => 3; case _ => 0
+  }
+
+  def tourSentence(id: Long): String = {
+    val p = persons(personIdx(id, 0))
+    val g = if (usesAlias(id, 0)) gpeAliases(gpeIdx(id, 0)) else gpes(gpeIdx(id, 0))
+    s"$p toured $g."
+  }
+
+  def moneyPersonIdx(id: Long): Int = ((id * 29) % 40).toInt
+  def moneyAmount(id: Long): Long = id % 9 + 1
+  def moneySentence(id: Long): String =
+    s"${persons(moneyPersonIdx(id))} paid $$${moneyAmount(id)} million."
+
+  def marryIdx1(id: Long): Int = ((id * 31) % 40).toInt
+  /** Second spouse index; bumped out of the first's mod-20 class because
+    * persons(i) == persons(i+20) (the pool has 20 distinct names, each
+    * at two indices — the hot-entity design). */
+  def marryIdx2(id: Long): Int = {
+    val w1 = marryIdx1(id)
+    val raw = ((id * 37 + 11) % 40).toInt
+    if (raw % 20 == w1 % 20) (raw + 1) % 40 else raw
+  }
+  def marrySentence(id: Long): String =
+    s"${persons(marryIdx1(id))} married ${persons(marryIdx2(id))}."
+
+  def extraSentence(id: Long): Option[String] = extraKind(id) match {
+    case 1 => Some(tourSentence(id))
+    case 2 => Some(moneySentence(id))
+    case 3 => Some(marrySentence(id))
+    case _ => None
+  }
+
   def mainSentence(id: Long, s: Int): String = {
     val p = persons(personIdx(id, s))
     val g = if (usesAlias(id, s)) gpeAliases(gpeIdx(id, s)) else gpes(gpeIdx(id, s))
@@ -103,6 +146,7 @@ object Gen {
       if (hasMedia(id, s)) spans += SpanT("media", "", s"m-$id-$s", off)
       s += 1
     }
+    extraSentence(id).foreach(addText)
     IceDoc(id.toString, spans.result())
   }
 }

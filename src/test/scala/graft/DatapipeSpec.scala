@@ -24,7 +24,7 @@ class DatapipeSpec extends SparkSpec {
   test("simhash banding finds all pairs within hamming distance 3") {
     // brute force over all pairs via the same simhash signature
     val sigs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .collect().map { case (id, t) => (id, Dedup.simhash(t.trim.split("\\s+").toSeq)) }
+      .collect().map { case (id, t) => (id, Dedup.simhash(Dedup.simhashFeatures(t))) }
     val brute = (for {
       (ida, sa) <- sigs; (idb, sb) <- sigs if ida < idb
       if java.lang.Long.bitCount(sa ^ sb) <= 3

@@ -45,7 +45,9 @@ class NlpGoldenSpec extends AnyFunSuite {
 
   test("no-name sentence produces no pairs ('Here is today's news.')") {
     val s = Nlp.analyze("Here is today's news.", 0)
-    assert(s.names.isEmpty)
+    // F12 wired into analyze(): 'today' now surfaces as a TIME value
+    // mention — still only one mention, so no pairs are mined
+    assert(s.names.map(_.etype) === Vector("TIME"))
     assert(Paths.mentionPairs(s.names).isEmpty)
   }
 
