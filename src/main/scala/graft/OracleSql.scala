@@ -179,7 +179,7 @@ object OracleSql {
     s"""$baseCte$xtraCte
        |SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, 0 AS ord,
        |       'text' AS kind,
-       |       'The ' || ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] || ' ' ||
+       |       'The ' || CASE WHEN d.doc_id % 6 = 0 THEN ($adjsL)[CAST((d.doc_id // 6) % 4 AS INT)+1] || ' ' ELSE '' END || ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] || ' ' ||
        |       ($fverbsL)[CAST((d.doc_id*23) % 4 AS INT)+1] || ' the ' ||
        |       ($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1] || '.' AS text,
        |       '' AS media_ref
@@ -269,18 +269,13 @@ object OracleSql {
   }
 
   val kgTermRank: String =
-    s"""WITH f AS (
-       |  SELECT d.doc_id AS id, (d.doc_id % 4) AS m,
-       |         ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] AS n1,
-       |         ($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1] AS n2
-       |  FROM documents d WHERE d.doc_id % 2 = 0
-       |), t AS (
-       |  SELECT id, m, n1 AS term FROM f UNION ALL SELECT id, m, n2 FROM f
-       |), fg AS (
+    s"""$termsCte,
+       |fg AS (
        |  SELECT term, count(DISTINCT id) AS doc_freq, count(*) AS total_freq
-       |  FROM t WHERE m = 0 GROUP BY 1
+       |  FROM t WHERE id % 4 = 0 GROUP BY 1
        |), bg AS (
-       |  SELECT term, count(DISTINCT id) AS bg_doc_freq FROM t WHERE m = 2 GROUP BY 1
+       |  SELECT term, count(DISTINCT id) AS bg_doc_freq
+       |  FROM t WHERE id % 4 = 2 GROUP BY 1
        |)
        |SELECT fg.term, fg.doc_freq, fg.total_freq,
        |       round(fg.doc_freq * ln(fg.doc_freq) /
@@ -381,7 +376,7 @@ object OracleSql {
        |         ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] || ' ' ||
        |         ($fvLemmasL)[CAST((d.doc_id*23) % 4 AS INT)+1] || ' ' ||
        |         ($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1] AS repr,
-       |         'The ' || ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] || ' ' ||
+       |         'The ' || CASE WHEN d.doc_id % 6 = 0 THEN ($adjsL)[CAST((d.doc_id // 6) % 4 AS INT)+1] || ' ' ELSE '' END || ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] || ' ' ||
        |         ($fverbsL)[CAST((d.doc_id*23) % 4 AS INT)+1] || ' the ' ||
        |         ($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1] || '.' AS example
        |  FROM documents d WHERE d.doc_id % 2 = 0
@@ -440,16 +435,45 @@ object OracleSql {
        |SELECT CAST(id AS VARCHAR), $tourPerson, 'visited', $tourGpe
        |FROM xx WHERE k7 = 1""".stripMargin
 
-  /** Term doc/total frequencies from the filler sentences (A3). */
-  val kgTermCounts: String =
-    s"""WITH f AS (
+  private lazy val adjsL = sqlList(Gen.fillAdjs)
+
+  /** Unified term-occurrence set: filler NP suffixes (single nouns +
+    * adjective multi-word suffixes) and name terms `surface/nnp` from
+    * every sentence (F8 length/letter filter passes for the whole
+    * name pool, asserted in unit tests). */
+  private lazy val termsCte: String =
+    s"""$baseCte$xtraCte,
+       |f2 AS (
        |  SELECT d.doc_id AS id,
        |         ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] AS n1,
-       |         ($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1] AS n2
+       |         ($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1] AS n2,
+       |         (d.doc_id % 6 = 0) AS hasadj,
+       |         ($adjsL)[CAST((d.doc_id // 6) % 4 AS INT)+1] AS adj
        |  FROM documents d WHERE d.doc_id % 2 = 0
-       |), t AS (
-       |  SELECT id, n1 AS term FROM f UNION ALL SELECT id, n2 FROM f
-       |)
+       |),
+       |t AS (
+       |  SELECT id, n1 AS term FROM f2
+       |  UNION ALL SELECT id, n2 FROM f2
+       |  UNION ALL SELECT id, adj || ' ' || n1 FROM f2 WHERE hasadj
+       |  UNION ALL SELECT id, ($personsL)[pi+1] || '/nnp' FROM bb
+       |  UNION ALL SELECT id, CASE WHEN al THEN ($aliasesL)[gi+1]
+       |                            ELSE ($gpesL)[gi+1] END || '/nnp' FROM bb
+       |  UNION ALL SELECT id, $tourPerson || '/nnp' FROM xx WHERE k7 = 1
+       |  UNION ALL SELECT id, $tourGpe || '/nnp' FROM xx WHERE k7 = 1
+       |  UNION ALL SELECT id, $moneyPerson || '/nnp' FROM xx WHERE k7 = 3
+       |  UNION ALL SELECT id, $sp1 || '/nnp' FROM xx WHERE k7 = 5
+       |  UNION ALL SELECT id, $sp2 || '/nnp' FROM xx WHERE k7 = 5
+       |)""".stripMargin
+
+  /** Term doc/total frequencies (A3) over the combined term+name set. */
+  val kgTermCounts: String =
+    s"""$termsCte
        |SELECT term, count(DISTINCT id) AS doc_freq, count(*) AS total_freq
        |FROM t GROUP BY 1""".stripMargin
+
+  /** A3 per-doc leg (rawCount parity, flat). */
+  val kgTermDocCounts: String =
+    s"""$termsCte
+       |SELECT term, CAST(id AS VARCHAR) AS doc_id, count(*) AS cnt
+       |FROM t GROUP BY 1, 2""".stripMargin
 }

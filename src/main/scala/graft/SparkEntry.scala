@@ -26,6 +26,7 @@ object SparkEntry {
       graft.operators.DepPathsStage.pathsTable(KgPipeline.instances(s, dir))),
     "kg_spans_roundtrip" -> ((s, dir) => KgPipeline.spansRoundtrip(s, dir)),
     "kg_term_counts" -> ((s, dir) => KgPipeline.termCounts(s, dir)),
+    "kg_term_doc_counts" -> ((s, dir) => KgPipeline.termDocCounts(s, dir)),
     "kg_term_rank" -> ((s, dir) => KgPipeline.termRank(s, dir)),
     "kg_path_rank" -> ((s, dir) => KgPipeline.pathRank(s, dir)),
     "kg_dep_events" -> ((s, dir) => KgPipeline.depEvents(s, dir)),
@@ -61,6 +62,7 @@ object SparkEntry {
     "kg_path_instances" -> OracleSql.kgPathInstances,
     "kg_spans_roundtrip" -> OracleSql.kgSpansRoundtrip,
     "kg_term_counts" -> OracleSql.kgTermCounts,
+    "kg_term_doc_counts" -> OracleSql.kgTermDocCounts,
     "kg_term_rank" -> OracleSql.kgTermRank,
     "kg_path_rank" -> OracleSql.kgPathRank,
     "kg_dep_events" -> OracleSql.kgDepEvents,

@@ -43,6 +43,7 @@ object Nlp {
   private val prepositions = Set("in", "to", "at", "of", "from", "with")
   private val determiners = Set("the", "a", "an")
   private val adverbs = Set("here", "yesterday", "today", "now")
+  private val adjectives = Set("annual", "civic", "federal", "regional")
   val stopwords: Set[String] = determiners ++ prepositions ++
     Set("and", "or", "be", "been", "this", "that", "it", "news")
 
@@ -79,6 +80,7 @@ object Nlp {
     else if (prepositions(lw)) "IN"
     else if (determiners(lw)) "DT"
     else if (adverbs(lw)) "RB"
+    else if (adjectives(lw)) "JJ"
     else if (w.head.isUpper) "NNP"
     else "NN"
   }
@@ -199,16 +201,43 @@ object Nlp {
 
   // --- NP term extraction (X8/F7, TermCounter.java:224-252) ---------------
 
-  /** Candidate terms: common nouns heading an NP, length > 1,
-    * non-stopword, not overlapping a tagged name. */
+  /** Candidate terms (X8/F7, TermCounter.java:224-252): for each
+    * maximal JJ/NN run not overlapping a tagged name, emit every
+    * noun/adjective SUFFIX ending at the group's NN head (so
+    * "annual budget" yields both "budget" and "annual budget"), tokens
+    * length > 1 and non-stopword; PLUS name terms `surface/nnp` under
+    * the F8 filter (TermCounter.java:186-197 — terms and names are
+    * counted combined). */
   def extractTerms(tokens: Vector[Token], names: Vector[Name]): Vector[String] = {
     val nameToks: Set[Int] =
       names.flatMap(n => n.tokStart until n.tokEnd).toSet
-    tokens.indices.collect {
-      case i if tokens(i).pos == "NN" && !nameToks(i) &&
-        tokens(i).word.length > 1 && !stopwords(tokens(i).word.toLowerCase) =>
-        tokens(i).word.toLowerCase
-    }.toVector
+    val out = Vector.newBuilder[String]
+    def ok(j: Int): Boolean =
+      !nameToks(j) && (tokens(j).pos == "NN" || tokens(j).pos == "JJ") &&
+        tokens(j).word.length > 1 && !stopwords(tokens(j).word.toLowerCase)
+    var i = 0
+    while (i < tokens.length) {
+      if (ok(i)) {
+        var e = i
+        while (e + 1 < tokens.length && ok(e + 1)) e += 1
+        // suffixes must end at (and include) an NN head
+        if (tokens(e).pos == "NN") {
+          var s = e
+          while (s >= i) {
+            out += tokens.slice(s, e + 1).map(_.word.toLowerCase).mkString(" ")
+            s -= 1
+          }
+        }
+        i = e + 1
+      } else i += 1
+    }
+    names.foreach { n =>
+      if (n.etype == "PERSON" || n.etype == "GPE") {
+        val t = n.surface.trim.replaceAll("\\s+", " ") + "/nnp"
+        if (nameTermAllowed(t)) out += t
+      }
+    }
+    out.result()
   }
 
   // --- term/seed filters (F8/F9) -------------------------------------------

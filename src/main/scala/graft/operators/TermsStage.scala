@@ -30,6 +30,26 @@ object TermsStage {
       .agg(countDistinct(col("doc_id")).as("doc_freq"),
            count(lit(1)).as("total_freq"))
 
+  /** A3 per-doc leg (flat): `(term, doc_id, cnt)` — the reference's
+    * rawCount information (TermCounter.java:141-154) in relational
+    * form, gate-verified. */
+  def termDocCounts(docs: Dataset[AnnotatedDoc]): DataFrame =
+    termOccurrences(docs)
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** `counts`-file parity (TermCounter.java:141-154 + merge
+    * IceCLI.java:592-611): term → per-doc count array, ordered by
+    * doc id for determinism at any parallelism. */
+  def termCountArrays(docs: Dataset[AnnotatedDoc]): DataFrame =
+    termDocCounts(docs)
+      .groupBy(col("term"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("cnt"))))
+        .as("rows"))
+      .select(col("term"),
+        transform(col("rows"), r => r.getField("doc_id")).as("doc_ids"),
+        transform(col("rows"), r => r.getField("cnt")).as("counts"))
+
   /** Ratio ranking (A9, TermRanker.java:84-88 with alpha=1 and +1
     * smoothing): score = fgDocFreq * ln(fgDocFreq) / (bgDocFreq + 1).
     * bg side is broadcast — a dimension-table join (J1). Score rounded

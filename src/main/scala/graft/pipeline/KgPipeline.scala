@@ -69,6 +69,9 @@ object KgPipeline {
   def termCounts(spark: SparkSession, sfDir: String): DataFrame =
     TermsStage.termCounts(annotated(spark, sfDir))
 
+  def termDocCounts(spark: SparkSession, sfDir: String): DataFrame =
+    TermsStage.termDocCounts(annotated(spark, sfDir))
+
   /** fg/bg term ranking: foreground = docs with id % 4 == 0, background
     * = docs with id % 4 == 2 (both deterministic slices, J1 join). */
   def termRank(spark: SparkSession, sfDir: String): DataFrame = {

@@ -79,8 +79,17 @@ object Gen {
   def usesAlias(id: Long, s: Int): Boolean = (id + s) % 9 == 0
   def hasMedia(id: Long, s: Int): Boolean = (id + s) % 4 == 0
 
-  def fillerSentence(id: Long): String =
-    s"The ${fillerNoun1(id)} ${fillerVerb(id)} the ${fillerNoun2(id)}."
+  /** Adjective pool for multi-word filler NPs ("The annual budget ..."),
+    * exercising NP-suffix term enumeration. */
+  val fillAdjs: IndexedSeq[String] =
+    Vector("annual", "civic", "federal", "regional")
+  def hasAdj(id: Long): Boolean = id % 6 == 0
+  def fillerAdj(id: Long): String = fillAdjs((id / 6 % 4).toInt)
+
+  def fillerSentence(id: Long): String = {
+    val adj = if (hasAdj(id)) fillerAdj(id) + " " else ""
+    s"The $adj${fillerNoun1(id)} ${fillerVerb(id)} the ${fillerNoun2(id)}."
+  }
 
   // --- extra sentence slot (appended after all base spans) -----------------
   // id % 7 == 1: "P toured G."        — a second dobj predicate over the

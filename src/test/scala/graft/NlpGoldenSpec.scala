@@ -62,4 +62,38 @@ class NlpGoldenSpec extends AnyFunSuite {
     assert(s.names.isEmpty)
     assert(s.terms === Vector("budget", "report"))
   }
+
+  test("NP-suffix enumeration: adjective NPs yield every suffix ending at the head") {
+    val s = Nlp.analyze("The annual budget mentioned the report.", 0)
+    assert(s.terms === Vector("budget", "annual budget", "report"))
+  }
+
+  test("name terms carry /nnp and pass the F8 filter; value mentions are excluded") {
+    val s = Nlp.analyze("Fred Smith paid $5 million.", 0)
+    // PERSON surface becomes a name term; the MONEY mention does not
+    // (F8 rejects non-letter-initial), and 'million' sits inside the
+    // MONEY span so it is not a nominal term either
+    assert(s.terms === Vector("Fred Smith/nnp"))
+    assert(s.names.map(_.etype) === Vector("PERSON", "MONEY"))
+    assert(s.names.last.canonical === "50000")
+  }
+
+  test("money path mines PERSON--pay--MONEY with the sic million=10000 parity") {
+    val s = Nlp.analyze("Mary Jones paid $7 million.", 0)
+    val m1 = s.names.head; val m2 = s.names.last
+    val (n, l) = Paths.bfs(Nlp.transform(s.deps.toVector), m1.head, m2.head, Set.empty).get
+    assert(Paths.pathString(s, n, l) === "nsubj-1:pay:dobj")
+    assert(m2.canonical === "70000")
+  }
+
+  test("marriage sentence: symmetric pair, subscripted repr, swap12 roundtrip") {
+    val s = Nlp.analyze("Mary Jones married Peter Hall.", 0)
+    assert(s.names.map(_.etype) === Vector("PERSON", "PERSON"))
+    val m1 = s.names.head; val m2 = s.names.last
+    val (n, l) = Paths.bfs(s.deps, m1.head, m2.head, Set.empty).get
+    assert(Paths.pathString(s, n, l) === "nsubj-1:marry:dobj")
+    val repr = Paths.linearize(s, n, l, "PERSON(1)", "PERSON(2)")
+    assert(repr === "person(1) married person(2)")
+    assert(Paths.swap12(repr) === "person(2) married person(1)")
+  }
 }
