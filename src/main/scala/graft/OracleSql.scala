@@ -220,6 +220,26 @@ object OracleSql {
        |UNION ALL
        |SELECT CAST(id AS VARCHAR), n2, 'dobj-1_' || fvl FROM f""".stripMargin
 
+  /** Typeless-indexer pairs for the term list {budget, report,
+    * annual budget}: longest-first matching consumes "annual budget"
+    * (docs id%24==0 — adjective present AND adj=annual AND n1=budget),
+    * bare "budget" matches in the remaining n1=budget fillers
+    * (id%4==0), "report" appears as n2 in id%12==6 fillers. */
+  val kgTypelessPairs: String =
+    s"""WITH d2 AS (
+       |  SELECT d.doc_id AS id,
+       |         ($fvLemmasL)[CAST((d.doc_id*23) % 4 AS INT)+1] AS fvl
+       |  FROM documents d WHERE d.doc_id % 2 = 0
+       |)
+       |SELECT term, context, count(*) AS cnt FROM (
+       |  SELECT 'annual_budget' AS term, 'nsubj-1_' || fvl AS context
+       |  FROM d2 WHERE id % 24 = 0
+       |  UNION ALL SELECT 'budget', 'nsubj-1_' || fvl
+       |  FROM d2 WHERE id % 4 = 0 AND id % 24 <> 0
+       |  UNION ALL SELECT 'report', 'dobj-1_' || fvl
+       |  FROM d2 WHERE id % 12 = 6
+       |) GROUP BY 1, 2""".stripMargin
+
   val kgEntityIndex: String =
     s"""$fillerCte,
        |ev AS (
@@ -266,6 +286,48 @@ object OracleSql {
        |)
        |SELECT pt.term, round(pt.dot_pos / pt.norm / np.norm_p, 6) AS score
        |FROM pt, np WHERE pt.term NOT IN ($seeds)""".stripMargin
+  }
+
+  /** F9/F10-filtered expansion: the index is cut to terms with total
+    * count > 100 (dropping every dobj-side noun on this corpus, so the
+    * centroid comes from the surviving seed alone), marginals/N are
+    * recomputed over the kept cells, and the F9 seed-candidate
+    * exclusions apply to the ranked output. */
+  val kgEntityExpansionFiltered: String = {
+    val seeds = s"'${Gen.fillNouns(0)}','${Gen.fillNouns(1)}'"
+    s"""$fillerCte,
+       |ev AS (
+       |  SELECT n1 AS term, 'nsubj-1_' || fvl AS context FROM f
+       |  UNION ALL SELECT n2, 'dobj-1_' || fvl FROM f
+       |),
+       |cells0 AS (SELECT term, context, count(*) AS cnt FROM ev GROUP BY 1,2),
+       |kept AS (SELECT term FROM cells0 GROUP BY 1 HAVING sum(cnt) > 100),
+       |cells AS (SELECT c.* FROM cells0 c JOIN kept k ON c.term = k.term),
+       |rt AS (SELECT term, sum(cnt) AS row_total FROM cells GROUP BY 1),
+       |ct AS (SELECT context, sum(cnt) AS ctx_total FROM cells GROUP BY 1),
+       |n AS (SELECT sum(cnt) AS n FROM cells),
+       |idx AS (
+       |  SELECT c.term, c.context,
+       |         round(ln(c.cnt / rt.row_total / (ct.ctx_total / n.n)), 6) AS pmi
+       |  FROM cells c, rt, ct, n
+       |  WHERE c.term = rt.term AND c.context = ct.context
+       |    AND round(ln(c.cnt / rt.row_total / (ct.ctx_total / n.n)), 6) > 0.1
+       |),
+       |cen AS (SELECT context, sum(pmi) AS w FROM idx
+       |        WHERE term IN ($seeds) GROUP BY 1),
+       |np AS (SELECT sqrt(sum(w*w)) AS norm_p FROM cen),
+       |pt AS (
+       |  SELECT i.term,
+       |         sum(i.pmi * coalesce(cen.w, 0)) AS dot_pos,
+       |         sqrt(sum(i.pmi * i.pmi)) AS norm
+       |  FROM idx i LEFT JOIN cen ON i.context = cen.context
+       |  GROUP BY 1
+       |)
+       |SELECT pt.term, round(pt.dot_pos / pt.norm / np.norm_p, 6) AS score
+       |FROM pt, np WHERE pt.term NOT IN ($seeds)
+       |  AND pt.term NOT LIKE '%tion' AND pt.term NOT LIKE '%ment'
+       |  AND pt.term NOT LIKE 'www.%' AND pt.term NOT LIKE 'http%'
+       |  AND pt.term NOT LIKE '%@%'""".stripMargin
   }
 
   val kgTermRank: String =
@@ -464,6 +526,22 @@ object OracleSql {
        |  UNION ALL SELECT id, $sp1 || '/nnp' FROM xx WHERE k7 = 5
        |  UNION ALL SELECT id, $sp2 || '/nnp' FROM xx WHERE k7 = 5
        |)""".stripMargin
+
+  /** Embedding-backed soft matching: with movedTo removed, `moved to`
+    * paths re-rank to worksIn because sim(move,work)=0.9 and
+    * sim(to,in)=0.6 shrink the substitution costs (0.08 normalized) —
+    * under exact-word similarity the alphabetical tie-break would pick
+    * bornIn, so this output is observably embedding-driven. */
+  val kgTriplesEmbSoft: String =
+    s"""$baseCte$xtraCte
+       |SELECT CAST(id AS VARCHAR) AS doc_id,
+       |  ($personsL)[pi+1] AS subj,
+       |  CASE WHEN ri = 4 THEN 'worksIn' ELSE ($predsL)[ri] END AS pred,
+       |  CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END AS obj
+       |FROM bb
+       |UNION ALL
+       |SELECT CAST(id AS VARCHAR), $tourPerson, 'visited', $tourGpe
+       |FROM xx WHERE k7 = 1""".stripMargin
 
   /** Term doc/total frequencies (A3) over the combined term+name set. */
   val kgTermCounts: String =

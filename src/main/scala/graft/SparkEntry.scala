@@ -30,8 +30,11 @@ object SparkEntry {
     "kg_term_rank" -> ((s, dir) => KgPipeline.termRank(s, dir)),
     "kg_path_rank" -> ((s, dir) => KgPipeline.pathRank(s, dir)),
     "kg_dep_events" -> ((s, dir) => KgPipeline.depEvents(s, dir)),
+    "kg_typeless_pairs" -> ((s, dir) => KgPipeline.typelessPairs(s, dir)),
     "kg_entity_index" -> ((s, dir) => KgPipeline.entityIndex(s, dir)),
     "kg_entity_expansion" -> ((s, dir) => KgPipeline.entityExpansion(s, dir)),
+    "kg_entity_expansion_filtered" -> ((s, dir) =>
+      KgPipeline.entityExpansionFiltered(s, dir)),
     "kg_bootstrap_scores" -> ((s, dir) => KgPipeline.bootstrapScores(s, dir)),
     "kg_events" -> ((s, dir) => KgPipeline.events(s, dir)),
     "kg_event_instances" -> ((s, dir) => KgPipeline.eventInstances(s, dir)),
@@ -39,6 +42,7 @@ object SparkEntry {
     "kg_event_triples" -> ((s, dir) => KgPipeline.eventTriples(s, dir)),
     "kg_rules" -> ((s, dir) => KgPipeline.rulesTable(s, dir)),
     "kg_triples_soft" -> ((s, dir) => KgPipeline.triplesSoft(s, dir)),
+    "kg_triples_emb_soft" -> ((s, dir) => KgPipeline.triplesEmbSoft(s, dir)),
     "kg_canonical_triples" -> ((s, dir) => KgPipeline.canonicalTriples(s, dir)),
     "kg_value_triples" -> ((s, dir) => KgPipeline.valueTriples(s, dir)),
     "kg_symmetric_triples" -> ((s, dir) => KgPipeline.symmetricTriples(s, dir)),
@@ -66,8 +70,10 @@ object SparkEntry {
     "kg_term_rank" -> OracleSql.kgTermRank,
     "kg_path_rank" -> OracleSql.kgPathRank,
     "kg_dep_events" -> OracleSql.kgDepEvents,
+    "kg_typeless_pairs" -> OracleSql.kgTypelessPairs,
     "kg_entity_index" -> OracleSql.kgEntityIndex,
     "kg_entity_expansion" -> OracleSql.kgEntityExpansion,
+    "kg_entity_expansion_filtered" -> OracleSql.kgEntityExpansionFiltered,
     "kg_bootstrap_scores" -> OracleSql.kgBootstrapScores,
     "kg_events" -> OracleSql.kgEvents,
     "kg_event_instances" -> OracleSql.kgEventInstances,
@@ -75,6 +81,7 @@ object SparkEntry {
     "kg_event_triples" -> OracleSql.kgEventTriples,
     "kg_rules" -> OracleSql.kgRules,
     "kg_triples_soft" -> OracleSql.kgTriplesSoft,
+    "kg_triples_emb_soft" -> OracleSql.kgTriplesEmbSoft,
     "kg_canonical_triples" -> OracleSql.kgCanonicalTriples,
     "kg_value_triples" -> OracleSql.kgValueTriples,
     "kg_symmetric_triples" -> OracleSql.kgSymmetricTriples,

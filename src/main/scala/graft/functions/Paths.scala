@@ -142,8 +142,14 @@ object Paths {
     while (i < labels.length) {
       if (i > 0) sb.append(':')
       sb.append(labels(i))
-      if (i < labels.length - 1)
-        sb.append(':').append(Nlp.lemma(sentence.tokens(nodes(i + 1)).word))
+      if (i < labels.length - 1) {
+        val tok = sentence.tokens(nodes(i + 1))
+        // verbs get the rule-based inflection fallback so non-lexicon
+        // verbs don't split path counts across surface forms
+        sb.append(':').append(
+          if (tok.pos.startsWith("VB")) Nlp.lemmaVerb(tok.word)
+          else Nlp.lemma(tok.word))
+      }
       i += 1
     }
     sb.toString

@@ -58,6 +58,33 @@ object Nlp {
 
   def lemma(w: String): String = verbLemma.getOrElse(w.toLowerCase, w.toLowerCase)
 
+  /** Verb lemma with a rule-based inflection fallback for verbs outside
+    * the lexicon (otherwise a non-fixture verb passes through
+    * unlemmatized and splits its path counts across inflections).
+    * Conservative stripping: -ies/-ied→y, -es after sibilants, -s,
+    * -ed/-ing with doubled-consonant collapse. Lexicon verbs (the whole
+    * fixture grammar) are unaffected. */
+  def lemmaVerb(w: String): String = {
+    val lw = w.toLowerCase
+    verbLemma.getOrElse(lw, {
+      def undouble(s: String): String =
+        if (s.length >= 3 && s.last == s(s.length - 2) &&
+            !"aeiou".contains(s.last) && s.last != 'l' && s.last != 's')
+          s.dropRight(1)
+        else s
+      if (lw.length > 4 && lw.endsWith("ies")) lw.dropRight(3) + "y"
+      else if (lw.length > 4 && lw.endsWith("ied")) lw.dropRight(3) + "y"
+      else if (lw.length > 4 && lw.endsWith("es") &&
+               Seq("ses", "xes", "zes", "ches", "shes").exists(lw.endsWith))
+        lw.dropRight(2)
+      else if (lw.length > 3 && lw.endsWith("s") && !lw.endsWith("ss"))
+        lw.dropRight(1)
+      else if (lw.length > 4 && lw.endsWith("ed")) undouble(lw.dropRight(2))
+      else if (lw.length > 5 && lw.endsWith("ing")) undouble(lw.dropRight(3))
+      else lw
+    })
+  }
+
   // --- tokenizer ----------------------------------------------------------
 
   private val tokenRe = "[A-Za-z][A-Za-z-]*|[0-9]+|'s|[.,;:!?$]".r

@@ -41,17 +41,71 @@ object EntitySetStage {
     }.toDF("doc_id", "term", "context")
   }
 
+  /** Typeless entity-set indexer
+    * (entityset/TypelessEntitySetIndexer.java:101-204): no pre-declared
+    * entity type — the TERM LIST itself (output of the terminology
+    * stage) is gazetteer-loaded and matched longest-first over token
+    * sequences; each match emits its head token's dependency contexts
+    * as `(term, context)` training pairs (the word2vecf-style output),
+    * whitespace normalized to `_`. The term list is broadcast; the scan
+    * is a narrow flatMap. */
+  def typelessEvents(docs: Dataset[AnnotatedDoc],
+                     terms: Set[String]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast {
+      terms.map(t => t.toLowerCase.split("\\s+").toVector)
+        .groupBy(_.head).view.mapValues(_.toSeq.sortBy(-_.length)).toMap
+    }
+    docs.flatMap { d =>
+      val byFirst = bc.value
+      d.sentences.flatMap { s =>
+        val words = s.tokens.map(_.word.toLowerCase).toVector
+        val out = Vector.newBuilder[(String, String, String)]
+        var i = 0
+        while (i < words.length) {
+          val matched = byFirst.get(words(i)).flatMap(_.find(seq =>
+            seq.length <= words.length - i &&
+              seq.indices.forall(k => words(i + k) == seq(k))))
+          matched match {
+            case Some(seq) =>
+              val head = i + seq.length - 1
+              val term = seq.mkString("_")
+              s.deps.foreach { a =>
+                if (a.tgtPos == head && !Nlp.stopwords(a.srcWord.toLowerCase))
+                  out += ((d.doc_id, term, s"${a.dep}-1_${Nlp.lemma(a.srcWord)}"))
+                if (a.srcPos == head && !Nlp.stopwords(a.tgtWord.toLowerCase))
+                  out += ((d.doc_id, term, s"${a.dep}_${Nlp.lemma(a.tgtWord)}"))
+              }
+              i += seq.length
+            case None => i += 1
+          }
+        }
+        out.result()
+      }
+    }.toDF("doc_id", "term", "context")
+  }
+
   /** PMI matrix (A7): cell -> ln(cnt / rowSum / prior), prior =
     * ctxTotal / N; keep > 0.1 (EntitySetIndexer.java:325-356). Pure
     * built-in aggs: one count matrix, two marginals joined back. PMI
     * rounded to 6 dp for cross-engine comparability. */
-  def entityIndex(events: DataFrame): DataFrame = {
+  /** @param minTermTotal F10 (EntitySetIndexer.java:107-116): index only
+    *   entities whose total count exceeds the cutoff (reference default
+    *   3.0); marginals and N are recomputed over the kept cells. */
+  def entityIndex(events: DataFrame, minTermTotal: Double = 0.0): DataFrame = {
     // persisted: consumed four times below (two marginals, the N scalar
     // action, and the final join) — otherwise the upstream NLP + flatMap
     // chain re-executes for each
-    val cells = events.groupBy(col("term"), col("context"))
+    val cells0 = events.groupBy(col("term"), col("context"))
       .agg(count(lit(1)).as("cnt"))
-      .persist()
+    val cells = (if (minTermTotal <= 0) cells0
+      else {
+        val kept = cells0.groupBy(col("term"))
+          .agg(sum(col("cnt")).as("tt"))
+          .filter(col("tt") > minTermTotal).select(col("term"))
+        cells0.join(kept, Seq("term"))
+      }).persist()
     val rowTotals = cells.groupBy(col("term"))
       .agg(sum(col("cnt")).as("row_total"))
     val ctxTotals = cells.groupBy(col("context"))
@@ -100,4 +154,24 @@ object EntitySetStage {
       .select(col("term"), col("score"))
       .orderBy(desc("score"), asc("term"))
   }
+
+  /** F9 seed-candidate exclusions as codegen'd column predicates
+    * (EntitySetExpander.java:86-112): derivational -tion/-ment nouns,
+    * URLs/emails, capitalized terms, previously suggested terms. */
+  def candidateAllowed(suggested: Set[String] = Set.empty) = {
+    val t = col("term")
+    val base = !t.endsWith("tion") && !t.endsWith("ment") &&
+      !t.startsWith("www.") && !t.startsWith("http") && !t.contains("@") &&
+      substring(t, 1, 1) === lower(substring(t, 1, 1))
+    if (suggested.isEmpty) base else base && !t.isin(suggested.toSeq: _*)
+  }
+
+  /** Expansion with the in-loop filters wired (F9 + F10): the index is
+    * cut to entities above `minTermTotal`, and candidates failing the
+    * seed-candidate rules are dropped from the ranked output. */
+  def expandFiltered(spark: SparkSession, events: DataFrame,
+                     seeds: Set[String], minTermTotal: Double = 3.0,
+                     suggested: Set[String] = Set.empty): DataFrame =
+    expand(spark, entityIndex(events, minTermTotal).persist(), seeds)
+      .filter(candidateAllowed(suggested))
 }

@@ -104,6 +104,16 @@ object KgPipeline {
   def depEvents(spark: SparkSession, sfDir: String): DataFrame =
     EntitySetStage.depEvents(annotated(spark, sfDir))
 
+  /** Typeless indexing pairs over a term list including a multi-word
+    * term — longest-first matching consumes "annual budget" where it
+    * occurs, leaving bare "budget" only in unmodified fillers. */
+  def typelessPairs(spark: SparkSession, sfDir: String): DataFrame =
+    EntitySetStage.typelessEvents(annotated(spark, sfDir),
+        terms = Set(Gen.fillNouns(0), Gen.fillNouns(1),
+          "annual " + Gen.fillNouns(0)))
+      .groupBy(col("term"), col("context"))
+      .agg(count(lit(1)).as("cnt"))
+
   def entityIndex(spark: SparkSession, sfDir: String): DataFrame =
     EntitySetStage.entityIndex(depEvents(spark, sfDir))
 
@@ -114,6 +124,14 @@ object KgPipeline {
   def entityExpansion(spark: SparkSession, sfDir: String): DataFrame =
     EntitySetStage.expand(spark, entityIndex(spark, sfDir).persist(),
       seeds = Set(Gen.fillNouns(0), Gen.fillNouns(1)))
+
+  /** Expansion with the in-loop filters (F9/F10) wired: the cutoff is
+    * set high enough (100) to actually drop terms on this corpus —
+    * every dobj-side noun falls out of the index, so the expansion
+    * centroid is built from the surviving seed alone. */
+  def entityExpansionFiltered(spark: SparkSession, sfDir: String): DataFrame =
+    EntitySetStage.expandFiltered(spark, depEvents(spark, sfDir),
+      seeds = Set(Gen.fillNouns(0), Gen.fillNouns(1)), minTermTotal = 100.0)
 
   /** Bootstrap shared-arg candidate scores, seeded with the livesIn
     * path (A10/J2/J3). */
@@ -150,6 +168,42 @@ object KgPipeline {
     val inst = instances(spark, sfDir)
     val rs = rules(spark, sfDir).filterNot(_.relName == "diedIn")
     TaggerStage.triples(inst, rs).toDF()
+  }
+
+  /** Word-embedding table for the embedding-backed soft matcher
+    * (PathMatcher.java:16-110 substitution-cost hook): deliberately
+    * tiny and ONLY covering {move, work, to, in}, so the effect is
+    * isolated — `moved to` paths re-rank from the alphabetical
+    * tie-break winner (bornIn) to worksIn purely through embedding
+    * similarity. */
+  val softMatchEmbedding: Map[String, Array[Double]] = Map(
+    "move" -> Array(1.0, 0.0),
+    "work" -> Array(0.9, math.sqrt(1 - 0.81)), // cos(move, work) = 0.9
+    "to" -> Array(0.0, 1.0),
+    "in" -> Array(0.8, 0.6)) // cos(to, in) = 0.6
+
+  /** Tagging with the movedTo rule removed and an embedding-backed
+    * `wordSim` in the soft matcher: `moved to` candidates can only
+    * reach the triple table through embedding similarity, and the
+    * embedding makes worksIn (not the alphabetical-tie bornIn) the
+    * nearest rule — i.e. the result is observably different from
+    * exact-word soft matching. */
+  def triplesEmbSoft(spark: SparkSession, sfDir: String): DataFrame = {
+    val inst = instances(spark, sfDir)
+    val rs = rules(spark, sfDir).filterNot(_.relName == "movedTo")
+    val bc = spark.sparkContext.broadcast(softMatchEmbedding)
+    val wordSim: (String, String) => Double = (a, b) => {
+      if (a == b) 1.0
+      else (bc.value.get(a.toLowerCase), bc.value.get(b.toLowerCase)) match {
+        case (Some(x), Some(y)) =>
+          val d = x(0) * y(0) + x(1) * y(1)
+          val nx = math.sqrt(x(0) * x(0) + x(1) * x(1))
+          val ny = math.sqrt(y(0) * y(0) + y(1) * y(1))
+          if (nx == 0 || ny == 0) 0.0 else d / nx / ny
+        case _ => 0.0
+      }
+    }
+    TaggerStage.triples(inst, rs, wordSim).toDF()
   }
 
   def canonicalTriples(spark: SparkSession, sfDir: String): DataFrame =

@@ -1,0 +1,105 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** S11: the session/status store — the reference persists corpora,
+  * entity sets and relations to `ice.yml` between runs
+  * (uicomps/Ice.java + IceCLI's YamlEncoder round-trips). This is a
+  * minimal hand-rolled YAML subset (nested string maps + string lists;
+  * no YAML library ships in this sandbox) with the same atomic-rename
+  * commit discipline as [[TableIO]], so a killed run never sees a
+  * half-written status file.
+  */
+final case class IceStatus(
+    corpora: Map[String, Map[String, String]] = Map.empty,
+    entitySets: Map[String, Seq[String]] = Map.empty,
+    relations: Map[String, Seq[String]] = Map.empty)
+
+object StatusStore {
+
+  private def quote(s: String): String =
+    if (s.isEmpty || s.exists(c => ":#-\"'".contains(c) || c.isWhitespace))
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    else s
+
+  private def unquote(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\""))
+      t.substring(1, t.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")
+    else t
+  }
+
+  def render(st: IceStatus): String = {
+    val sb = new StringBuilder
+    sb.append("corpora:\n")
+    st.corpora.toSeq.sortBy(_._1).foreach { case (name, props) =>
+      sb.append(s"  ${quote(name)}:\n")
+      props.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        sb.append(s"    ${quote(k)}: ${quote(v)}\n")
+      }
+    }
+    sb.append("entitySets:\n")
+    st.entitySets.toSeq.sortBy(_._1).foreach { case (name, members) =>
+      sb.append(s"  ${quote(name)}:\n")
+      members.foreach(m => sb.append(s"    - ${quote(m)}\n"))
+    }
+    sb.append("relations:\n")
+    st.relations.toSeq.sortBy(_._1).foreach { case (name, paths) =>
+      sb.append(s"  ${quote(name)}:\n")
+      paths.foreach(p => sb.append(s"    - ${quote(p)}\n"))
+    }
+    sb.toString
+  }
+
+  def parse(text: String): IceStatus = {
+    var corpora = Map.empty[String, Map[String, String]]
+    var entitySets = Map.empty[String, Seq[String]]
+    var relations = Map.empty[String, Seq[String]]
+    var section = ""
+    var current = ""
+    text.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
+      val indent = line.takeWhile(_ == ' ').length
+      val t = line.trim
+      if (indent == 0 && t.endsWith(":")) section = t.dropRight(1)
+      else if (indent == 2 && t.endsWith(":")) {
+        current = unquote(t.dropRight(1))
+        section match {
+          case "corpora" => corpora += current -> Map.empty
+          case "entitySets" => entitySets += current -> Vector.empty
+          case "relations" => relations += current -> Vector.empty
+          case _ =>
+        }
+      } else if (indent == 4 && t.startsWith("- ")) {
+        val v = unquote(t.drop(2))
+        section match {
+          case "entitySets" =>
+            entitySets += current -> (entitySets(current) :+ v)
+          case "relations" =>
+            relations += current -> (relations(current) :+ v)
+          case _ =>
+        }
+      } else if (indent == 4 && t.contains(':')) {
+        val i = t.indexOf(':')
+        val k = unquote(t.substring(0, i))
+        val v = unquote(t.substring(i + 1))
+        corpora += current -> (corpora(current) + (k -> v))
+      }
+    }
+    IceStatus(corpora, entitySets, relations)
+  }
+
+  /** Atomic save: write-to-temp + rename, like TableIO manifests. */
+  def save(path: String, st: IceStatus): Unit = {
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    val tmp: Path = Paths.get(path + ".tmp")
+    Files.writeString(tmp, render(st))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def load(path: String): IceStatus = {
+    val p = Paths.get(path)
+    if (Files.exists(p)) parse(Files.readString(p)) else IceStatus()
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.nlp.Nlp
+import graft.operators.EntitySetStage
+import graft.sources.{IceStatus, StatusStore}
+
+/** F9/F10 expansion filters, the typeless indexer, the status store,
+  * and the verb-lemma fallback. */
+class EntityFiltersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("F10 cutoff drops low-count terms from the index; marginals recomputed") {
+    val ev = Seq(
+      ("1", "alpha", "c1"), ("2", "alpha", "c1"), ("3", "alpha", "c1"),
+      ("1", "beta", "c2"), ("2", "beta", "c2"), ("3", "beta", "c2"),
+      ("1", "rare", "c1")).toDF("doc_id", "term", "context")
+    val idx = EntitySetStage.entityIndex(ev, minTermTotal = 2.0)
+    // rare (total 1) is cut; alpha/beta survive with pmi ln(2) > 0.1
+    // computed over the KEPT cells only
+    assert(idx.select("term").distinct().as[String].collect().toSet
+      === Set("alpha", "beta"))
+  }
+
+  test("F9 candidate filter drops -tion/-ment, URLs, capitalized, suggested") {
+    val scored = Seq(("election", 0.9), ("merger", 0.8), ("Treaty", 0.7),
+      ("payment", 0.6), ("www.x.com", 0.5), ("verdict", 0.4))
+      .toDF("term", "score")
+    val kept = scored.filter(EntitySetStage.candidateAllowed(Set("verdict")))
+      .select("term").as[String].collect().toSet
+    assert(kept === Set("merger"))
+  }
+
+  test("typeless indexer: longest-first multi-word match, head contexts, _-normalized") {
+    val docs = Seq(
+      graft.sources.Gen.doc(0L), // "The annual budget ..." (id%24==0)
+      graft.sources.Gen.doc(4L)  // plain "budget" filler (4%6 != 0)
+    ).toDS()
+    val ann = graft.operators.Preprocess.annotate(docs)
+    val pairs = EntitySetStage.typelessEvents(ann,
+        Set("budget", "annual budget"))
+      .select("term", "context").as[(String, String)].collect().toSet
+    assert(pairs.exists(_._1 == "annual_budget"))
+    assert(pairs.exists(_._1 == "budget"))
+    // doc 0's budget token was consumed by the multi-word match
+    val doc0 = EntitySetStage.typelessEvents(ann.filter(_.doc_id == "0"),
+        Set("budget", "annual budget"))
+      .select("term").as[String].collect().toSet
+    assert(doc0 === Set("annual_budget"))
+  }
+
+  test("status store round-trips corpora, entity sets and relations") {
+    val st = IceStatus(
+      corpora = Map("c1" -> Map("directory" -> "/data in: x", "filter" -> "sgm")),
+      entitySets = Map("DRUG" -> Seq("aspirin", "ibu profen")),
+      relations = Map("livesIn" -> Seq("nsubj-1:live:prep:in:pobj")))
+    val path = java.nio.file.Files.createTempDirectory("graft-status")
+      .resolve("ice.yml").toString
+    StatusStore.save(path, st)
+    assert(StatusStore.load(path) === st)
+    // missing file -> empty status
+    assert(StatusStore.load(path + ".nope") === IceStatus())
+  }
+
+  test("verb-lemma fallback strips inflections without touching lexicon verbs") {
+    assert(Nlp.lemmaVerb("visited") === "visit") // lexicon
+    assert(Nlp.lemmaVerb("carries") === "carry")
+    assert(Nlp.lemmaVerb("carried") === "carry")
+    assert(Nlp.lemmaVerb("watches") === "watch")
+    assert(Nlp.lemmaVerb("planned") === "plan")
+    assert(Nlp.lemmaVerb("running") === "run")
+    assert(Nlp.lemmaVerb("walks") === "walk")
+    // documented heuristic limit: no e-restoration ("agreed" -> "agre");
+    // still collapses inflections of the same verb to one key
+    assert(Nlp.lemmaVerb("agreed") === "agre")
+  }
+}
