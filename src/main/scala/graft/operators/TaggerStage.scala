@@ -53,6 +53,35 @@ object TaggerStage {
     }.toSeq
   }
 
+  /** Like [[rulesFromSeeds]], plus the J4 edit-distance fallback
+    * (DepPathMap.java:241-302 findClosestPath): a seed phrase with no
+    * exact/swap12 repr match resolves to the argmin-edit-distance repr
+    * instead. The argmin runs DISTRIBUTED — tiny seed set crossed
+    * against the repr table, min-reduced per seed — so the repr table
+    * is never collected. */
+  def rulesFromSeedsFuzzy(spark: SparkSession, pathRepr: DataFrame,
+                          seeds: Map[String, String]): Seq[RelationRule] = {
+    val exactRules = rulesFromSeeds(spark, pathRepr, seeds)
+    val unresolved = seeds -- exactRules.map(_.relName).toSet
+    if (unresolved.isEmpty) return exactRules
+    import spark.implicits._
+    val seedDf = unresolved.toSeq.toDF("relName", "seedRepr")
+      .withColumn("seedRepr", lower(regexp_replace(col("seedRepr"), "\\s+", " ")))
+    val dist = udf((a: String, b: String) => Paths.editDistance(a, b))
+    val scored = pathRepr.crossJoin(broadcast(seedDf))
+      .select(col("relName"), col("type1"), col("path"), col("type2"),
+        dist(col("repr"), col("seedRepr")).as("d"), col("repr"))
+    // deterministic argmin per seed: (distance, repr, path) min-struct
+    val best = scored.groupBy(col("relName"))
+      .agg(min(struct(col("d"), col("repr"), col("type1"), col("path"),
+        col("type2"))).as("m"))
+      .select(col("relName"), col("m.type1"), col("m.path"), col("m.type2"))
+    exactRules ++ best.collect().map { r =>
+      RelationRule(r.getString(1), r.getString(2), r.getString(3),
+        r.getString(0), invert = false, positive = true)
+    }
+  }
+
   /** The broadcastable decode state: exact rule map + soft/neg rule
     * lists (J7/J8). */
   private def ruleState(rules: Seq[RelationRule])

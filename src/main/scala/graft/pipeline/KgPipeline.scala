@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   * tables. The only shuffles are the final aggregations; there is no
   * wide join on the document axis, so the plan scales linearly with
   * executors.
+  *
+  * Caching contract: several entry points persist() an intermediate
+  * consumed by more than one action (the instance table, the PMI
+  * index). The persisted blocks belong to the QUERY, not the session —
+  * long-lived callers should release them after the last consuming
+  * action (`spark.catalog.clearCache()` between queries, as
+  * graft.Verify and graft.Bench do), or the cache accumulates across
+  * queries.
   */
 object KgPipeline {
 

@@ -77,4 +77,18 @@ class TinyCorpusSpec extends SparkSpec {
     val recall = correct / key.size
     assert(precision >= 0.95 && recall >= 0.95)
   }
+
+  test("J4 fuzzy fallback: a misspelled seed resolves to the closest repr") {
+    val repr = DepPathsStage.pathReprTable(DepPathsStage.instances(annotated))
+    // exact resolution finds nothing for this phrase; the distributed
+    // edit-distance argmin resolves it to 'person lives in gpe'
+    val rules = TaggerStage.rulesFromSeedsFuzzy(spark, repr,
+      Map("livesIn" -> "person livs in gpe"))
+    assert(rules.map(r => (r.relName, r.path)) ===
+      Seq(("livesIn", "nsubj-1:live:prep:in:pobj")))
+    // exact matches are not duplicated by the fallback
+    val mixed = TaggerStage.rulesFromSeedsFuzzy(spark, repr,
+      Map("livesIn" -> "person lives in gpe"))
+    assert(mixed.size === 1 && !mixed.head.invert)
+  }
 }
