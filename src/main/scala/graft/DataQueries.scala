@@ -132,6 +132,28 @@ object DataQueries {
           "q_stream_events: stream did not terminate within 300s")
       s.table(name)
     }),
+    "q_stream_sessions" -> ((s, d) => {
+      // stateful streaming surface inside the correctness gate:
+      // flatMapGroupsWithState sessionization (30-min gap, 10-min
+      // watermark) over a file stream drained with AvailableNow. The
+      // DuckDB oracle recomputes the same semantics relationally:
+      // gap-split sessions, where a user's LAST session only emits if
+      // the final watermark (max ts - 10 min) passed its end + gap.
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val dir = java.nio.file.Files.createTempDirectory("graft-qsess")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        dir.resolve("events.parquet"))
+      val name = "qss_" + java.lang.Long.toHexString(System.nanoTime())
+      val stream = s.readStream.schema(schema).parquet(dir.toString)
+      val q = graft.streaming.Sessionize.sessions(stream)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(300000))
+        throw new IllegalStateException(
+          "q_stream_sessions: stream did not terminate within 300s")
+      s.table(name)
+    }),
     "q_union_agg" -> ((s, d) => {
       // union + re-aggregate (the reference's split/merge shape, A4/A5)
       val li = s.read.parquet(s"$d/lineitem.parquet")
@@ -311,6 +333,25 @@ object DataQueries {
           |GROUP BY 1, 2""".stripMargin,
       "q_stream_events" ->
         "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+      "q_stream_sessions" ->
+        """WITH e AS (SELECT user_id,
+          |            epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),
+          |wm AS (SELECT max(ms) - 600000 AS w FROM e),
+          |o AS (SELECT user_id, ms,
+          |        CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+          |                  > 1800000 THEN 1 ELSE 0 END AS brk FROM e),
+          |g AS (SELECT user_id, ms,
+          |        sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+          |                       ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+          |s AS (SELECT user_id, sid, min(ms) AS start_ms, max(ms) AS end_ms,
+          |             count(*) AS n_events FROM g GROUP BY 1, 2),
+          |lastsid AS (SELECT user_id, max(sid) AS msid FROM s GROUP BY 1)
+          |SELECT s.user_id, s.start_ms, s.end_ms, s.n_events
+          |FROM s JOIN lastsid l ON s.user_id = l.user_id AND s.sid = l.msid, wm
+          |WHERE s.end_ms + 1800000 < wm.w
+          |UNION ALL
+          |SELECT s.user_id, s.start_ms, s.end_ms, s.n_events
+          |FROM s JOIN lastsid l ON s.user_id = l.user_id AND s.sid < l.msid""".stripMargin,
       "q_union_agg" ->
         """SELECT l_returnflag,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty

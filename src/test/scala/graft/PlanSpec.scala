@@ -84,6 +84,38 @@ class PlanSpec extends SparkSpec {
     spark.sql("DROP TABLE o_b")
   }
 
+  test("embedding near-dup is a bucketed join: no cartesian, no full broadcast") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(graft.datapipe.Dedup.embeddingNearDupLsh(emb))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"embedding near-dup must not degenerate to all-pairs:\n$p")
+  }
+
+  test("simhash near-dup keeps the distance filter inside codegen before the distinct") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.datapipe.Dedup.simhashPairs(docs)
+      .queryExecution.executedPlan.toString
+    // the native bit_count distance predicate must be evaluated BELOW
+    // the distinct aggregate (Catalyst actually pushes it into the band
+    // join's condition — even earlier); plans print parents first, so
+    // the predicate line must come after the aggregate lines
+    val predLine = p.linesIterator.indexWhere(_.contains("bit_count((sig"))
+    val aggLine = p.linesIterator.indexWhere(_.contains("HashAggregate"))
+    assert(aggLine >= 0 && predLine >= 0 && aggLine < predLine,
+      s"distinct should consume distance-filtered rows:\n$p")
+  }
+
+  test("ivf quantizer sample is a bounded distributed top-k, not a full collect") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ids = emb.select(col("vec_id").cast("long"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .filter(pmod(hash(col("vec_id")), lit(4)) === 0)
+      .orderBy("vec_id").limit(16 * 256)
+    assert(plan(ids).contains("TakeOrderedAndProject"))
+  }
+
   test("seed-rule resolution join broadcasts the seed side") {
     val inst = graft.operators.DepPathsStage.instances(
       KgPipeline.annotated(spark, dir))
