@@ -22,6 +22,8 @@ object SparkEntry {
     "kg_triples" -> ((s, dir) => KgPipeline.triples(s, dir).toDF()),
     "kg_path_types" -> ((s, dir) =>
       graft.operators.DepPathsStage.pathTypesTable(KgPipeline.instances(s, dir))),
+    "kg_incremental_paths" -> ((s, dir) =>
+      KgPipeline.incrementalPathTypes(s, dir)),
     "kg_path_instances" -> ((s, dir) =>
       graft.operators.DepPathsStage.pathsTable(KgPipeline.instances(s, dir))),
     "kg_spans_roundtrip" -> ((s, dir) => KgPipeline.spansRoundtrip(s, dir)),
@@ -63,6 +65,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "kg_triples" -> OracleSql.kgTriples,
     "kg_path_types" -> OracleSql.kgPathTypes,
+    // incremental merge must be indistinguishable from a full recompute
+    "kg_incremental_paths" -> OracleSql.kgPathTypes,
     "kg_path_instances" -> OracleSql.kgPathInstances,
     "kg_spans_roundtrip" -> OracleSql.kgSpansRoundtrip,
     "kg_term_counts" -> OracleSql.kgTermCounts,

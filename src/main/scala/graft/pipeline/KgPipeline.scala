@@ -259,6 +259,20 @@ object KgPipeline {
       EventsStage.events(annotated(spark, sfDir)),
       seedTriggers = Set("visit"), seedType1 = "PERSON", seedType2 = "GPE")
 
+  /** Incremental recompute surfaced in the gate (§2.9, the DepPathsLog
+    * analog): the committed instance table is merged with a fresh mine
+    * of only the docs touched by a changed entity set; the resulting
+    * path-type counts must be indistinguishable from a full recompute —
+    * verified against the same independent oracle as kg_path_types. */
+  def incrementalPathTypes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ann = annotated(spark, sfDir).persist()
+    val prior = DepPathsStage.instances(ann)
+    val merged = IncrementalPaths.mergeInstances(prior, ann,
+      changedTokens = Set("chicago", "seattle"))
+    DepPathsStage.pathTypesTable(merged.as[PathInstance])
+  }
+
   /** Materialized end-to-end run with snapshot/manifest commits: every
     * stage writes through TableIO; a rerun (after a kill) skips every
     * stage whose snapshot is committed and recomputes only the rest. */
