@@ -129,6 +129,34 @@ object OracleSql {
        |  FROM xx WHERE k7 = 5
        |) GROUP BY 1, 2, 3""".stripMargin
 
+  /** Path-trigram (ngram-event) counts: the trigram decomposition of
+    * each path is a pure function of the (finite) path inventory, so
+    * the oracle embeds it as a VALUES table joined with per-path
+    * instance counts. */
+  val kgPathNgrams: String = {
+    def trigrams(p: String): Seq[String] = {
+      val segs = p.split(':')
+      if (segs.length % 2 == 0) Nil
+      else (0 until segs.length - 2 by 2)
+        .map(i => s"${segs(i)}:${segs(i + 1)}:${segs(i + 2)}")
+    }
+    val allPaths = Gen.predPaths ++
+      Seq("nsubj-1:tour:dobj", "nsubj-1:pay:dobj", "nsubj-1:marry:dobj")
+    val values = allPaths.flatMap(p => trigrams(p).map(t => s"('$p','$t')"))
+      .mkString(", ")
+    s"""$baseCte$xtraCte,
+       |allp AS (
+       |  SELECT ($pathsL)[ri] AS path FROM bb
+       |  UNION ALL SELECT 'nsubj-1:tour:dobj' FROM xx WHERE k7 = 1
+       |  UNION ALL SELECT 'nsubj-1:pay:dobj' FROM xx WHERE k7 = 3
+       |  UNION ALL SELECT 'nsubj-1:marry:dobj' FROM xx WHERE k7 = 5
+       |),
+       |pc AS (SELECT path, count(*) AS n FROM allp GROUP BY 1),
+       |tg(path, context) AS (VALUES $values)
+       |SELECT pc.path, tg.context, pc.n AS cnt
+       |FROM pc JOIN tg ON pc.path = tg.path""".stripMargin
+  }
+
   val kgValueTriples: String =
     s"""$baseCte$xtraCte
        |SELECT CAST(id AS VARCHAR) AS doc_id, $moneyPerson AS subj,

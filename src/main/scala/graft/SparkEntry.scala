@@ -26,6 +26,8 @@ object SparkEntry {
       KgPipeline.incrementalPathTypes(s, dir)),
     "kg_path_instances" -> ((s, dir) =>
       graft.operators.DepPathsStage.pathsTable(KgPipeline.instances(s, dir))),
+    "kg_path_ngrams" -> ((s, dir) =>
+      graft.operators.DepPathsStage.pathNgramsTable(KgPipeline.instances(s, dir))),
     "kg_spans_roundtrip" -> ((s, dir) => KgPipeline.spansRoundtrip(s, dir)),
     "kg_term_counts" -> ((s, dir) => KgPipeline.termCounts(s, dir)),
     "kg_term_doc_counts" -> ((s, dir) => KgPipeline.termDocCounts(s, dir)),
@@ -68,6 +70,7 @@ object SparkEntry {
     // incremental merge must be indistinguishable from a full recompute
     "kg_incremental_paths" -> OracleSql.kgPathTypes,
     "kg_path_instances" -> OracleSql.kgPathInstances,
+    "kg_path_ngrams" -> OracleSql.kgPathNgrams,
     "kg_spans_roundtrip" -> OracleSql.kgSpansRoundtrip,
     "kg_term_counts" -> OracleSql.kgTermCounts,
     "kg_term_doc_counts" -> OracleSql.kgTermDocCounts,

@@ -184,21 +184,44 @@ object Paths {
 
   /** Linearize a path into an English-ish repr: path nodes in sentence
     * order, endpoints replaced by their entity types, transcribed labels
-    * inserted, adjacent duplicates dropped; lowercased per
-    * DepPathMap.normalizeRepr (DepPathMap.java:231-234). */
+    * inserted, off-path verb arguments rendered as `STH` placeholders
+    * (X5, DepPath.java:325-353 addVerbDependents — a verb on the path
+    * whose dobj/nsubj/iobj dependent is NOT on the path contributes the
+    * placeholder at that dependent's sentence position), adjacent
+    * duplicates dropped; lowercased per DepPathMap.normalizeRepr
+    * (DepPathMap.java:231-234). */
   def linearize(sentence: Sentence, nodes: Vector[Int],
                 labels: Vector[String], type1: String, type2: String): String = {
     val endpoint = Map(nodes.head -> type1, nodes.last -> type2)
-    val words = nodes.sorted.map { n =>
-      endpoint.getOrElse(n, sentence.tokens(n).word)
-    }
+    val onPath = nodes.toSet
+    val sthRoles = Set("dobj", "nsubj", "iobj")
+    val sth = nodes.iterator
+      .filter(n => sentence.tokens(n).pos.startsWith("VB"))
+      .flatMap(v => sentence.deps.iterator.collect {
+        case d if d.srcPos == v && sthRoles(d.dep) && !onPath(d.tgtPos) =>
+          d.tgtPos
+      })
+      .toSet
+    val positioned = (nodes.map(n => n -> endpoint.getOrElse(n,
+        sentence.tokens(n).word)) ++ sth.toSeq.map(_ -> "STH"))
+      .sortBy(_._1).map(_._2)
     val extra = labels.flatMap(l => transcriptions.get(l.stripSuffix("-1")))
-    val all = (words ++ extra).toList
+    val all = (positioned ++ extra).toList
     val dedup = all.foldLeft(List.empty[String]) {
       case (acc, w) if acc.headOption.contains(w) => acc
       case (acc, w) => w :: acc
     }.reverse
     normalizeRepr(dedup.mkString(" "))
+  }
+
+  /** X4 ngram events (DepPaths.java:399-409): overlapping
+    * `label:word:label` trigrams of a regularized path — the contexts
+    * used to train path embeddings. */
+  def pathTrigrams(path: String): Seq[String] = {
+    val segs = path.split(':')
+    if (segs.length % 2 == 0) Nil
+    else (0 until segs.length - 2 by 2)
+      .map(i => s"${segs(i)}:${segs(i + 1)}:${segs(i + 2)}")
   }
 
   /** lowercase + collapse whitespace (F15, DepPathMap.java:231-234) —

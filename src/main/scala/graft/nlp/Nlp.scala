@@ -199,6 +199,22 @@ object Nlp {
           if (o0 > 0 && tokens(o0 - 1).pos == "DT") arcs += mk("det", o, o0 - 1)
           if (o > 0 && tokens(o - 1).pos == "NNP" && tokens(o).pos == "NNP")
             arcs += mk("nn", o, o - 1)
+          // trailing PP after the object ("V NP in NP"): prep + pobj
+          val prepIdx = (o + 1 until tokens.length).find(tokens(_).pos == "IN")
+          prepIdx.foreach { pi =>
+            arcs += mk("prep", main, pi)
+            (pi + 1 until tokens.length)
+              .find(k => tokens(k).pos == "NNP" || tokens(k).pos == "NN")
+              .foreach { p0 =>
+                val po = headOfRun(p0)
+                arcs += mk("pobj", pi, po)
+                if (p0 > pi + 1 && tokens(p0 - 1).pos == "DT")
+                  arcs += mk("det", po, p0 - 1)
+                if (po > 0 && tokens(po - 1).pos == "NNP" &&
+                    tokens(po).pos == "NNP")
+                  arcs += mk("nn", po, po - 1)
+              }
+          }
         }
       }
     }

@@ -79,6 +79,17 @@ object DepPathsStage {
     graft.functions.Salting.saltedCount(
       inst.toDF(), Seq("type1", "path", "type2"), saltBuckets = 32)
 
+  /** `path_ngrams` table (X4 ngram-event emission): counts of the
+    * overlapping label:word:label trigrams per path — training pairs
+    * for path embeddings (DepPaths.java:399-409). */
+  def pathNgramsTable(inst: Dataset[PathInstance]): DataFrame = {
+    import inst.sparkSession.implicits._
+    inst.flatMap(i => Paths.pathTrigrams(i.path).map(t => (i.path, t)))
+      .toDF("path", "context")
+      .groupBy(col("path"), col("context"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** `path_repr` table: one repr + example per typed path; merge prefers
     * the shorter repr (IceCLI.java:656-665) with a total tiebreak. */
   def pathReprTable(inst: Dataset[PathInstance]): DataFrame =

@@ -86,6 +86,23 @@ class NlpGoldenSpec extends AnyFunSuite {
     assert(m2.canonical === "70000")
   }
 
+  test("X5 STH placeholder: off-path verb object renders as 'sth' in the repr") {
+    // the PERSON->GPE path goes through the prep, leaving the verb's
+    // dobj (the MONEY amount) off-path -> linearize inserts STH at the
+    // dependent's sentence position (DepPath.java:325-353)
+    val s = Nlp.analyze("Fred Smith paid $5 million in Chicago.", 0)
+    val p = s.names.find(_.etype == "PERSON").get
+    val g = s.names.find(_.etype == "GPE").get
+    val (n, l) = Paths.bfs(s.deps, p.head, g.head, Set.empty).get
+    assert(Paths.linearize(s, n, l, "PERSON", "GPE")
+      === "person paid sth in gpe")
+    // trigram decomposition of the mined path (X4)
+    val path = Paths.regularize(Paths.pathString(s, n, l))
+    assert(path === "nsubj-1:pay:prep:in:pobj")
+    assert(Paths.pathTrigrams(path)
+      === Seq("nsubj-1:pay:prep", "prep:in:pobj"))
+  }
+
   test("marriage sentence: symmetric pair, subscripted repr, swap12 roundtrip") {
     val s = Nlp.analyze("Mary Jones married Peter Hall.", 0)
     assert(s.names.map(_.etype) === Vector("PERSON", "PERSON"))
