@@ -22,6 +22,12 @@ object Bench {
         case c if c < ' ' => " "
         case c => c.toString
       } + "\""
+    // untimed warmup: JIT + codegen + parquet reader init, so the first
+    // timed query doesn't absorb ~5s of JVM warmup
+    try {
+      spark.range(0, 1000000).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(100).count()
+    } catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
