@@ -41,12 +41,18 @@ object TaggerStage {
     // swap12 as a column expression: (1) <-> (2) via a placeholder
     val swapped = regexp_replace(regexp_replace(regexp_replace(
       col("repr"), "\\(1\\)", "(#)"), "\\(2\\)", "(1)"), "\\(#\\)", "(2)")
-    val joined = pathRepr.withColumn("swap_repr", swapped)
-      .join(broadcast(seedDf),
-        col("repr") === col("seedRepr") ||
-          (col("swap_repr") === col("seedRepr") && col("repr") =!= col("seedRepr")))
+    // two equi-joins (each a BroadcastHashJoin), not one OR-join (which
+    // would plan as a nested loop over the whole repr table)
+    val direct = pathRepr
+      .join(broadcast(seedDf), col("repr") === col("seedRepr"))
       .select(col("type1"), col("path"), col("type2"), col("relName"),
-        (col("repr") =!= col("seedRepr")).as("invert"))
+        lit(false).as("invert"))
+    val viaSwap = pathRepr.withColumn("swap_repr", swapped)
+      .join(broadcast(seedDf),
+        col("swap_repr") === col("seedRepr") && col("repr") =!= col("seedRepr"))
+      .select(col("type1"), col("path"), col("type2"), col("relName"),
+        lit(true).as("invert"))
+    val joined = direct.unionByName(viaSwap)
     joined.collect().map { r =>
       RelationRule(r.getString(0), r.getString(1), r.getString(2),
         r.getString(3), invert = r.getBoolean(4), positive = true)
