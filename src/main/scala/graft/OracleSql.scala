@@ -41,23 +41,37 @@ object OracleSql {
        |  FROM b
        |)""".stripMargin
 
-  /** Extra-sentence derivations (Gen.extraSentence): tour (k7=1), money
-    * (k7=3), marriage (k7=5). Appended after [[baseCte]]. */
+  private val gendersL = sqlList(Gen.personGenders)
+
+  /** Extra-sentence derivations (Gen.extraSentence): tour (k7=1),
+    * pronoun-coref (k7=2), money (k7=3), marriage (k7=5). Appended
+    * after [[baseCte]]. `api` is the coref antecedent person index —
+    * the most recent sentence whose person matches the s=0 gender
+    * (Gen.pronAntecedentIdx recomputed independently). */
   val xtraCte: String =
     s""",
        |x AS (
        |  SELECT d.doc_id AS id, d.doc_id % 7 AS k7,
        |         CAST((d.doc_id*13) % 40 AS INT) AS tpi,
+       |         CAST((d.doc_id*13 + 7) % 40 AS INT) AS s1pi,
+       |         CAST((d.doc_id*13 + 14) % 40 AS INT) AS s2pi,
+       |         d.doc_id % 3 AS lasts,
        |         CAST((d.doc_id*17) % 25 AS INT) AS tgi,
        |         (d.doc_id % 9 = 0) AS tal,
        |         CAST((d.doc_id*29) % 40 AS INT) AS mpi,
        |         d.doc_id % 9 + 1 AS amt,
        |         CAST((d.doc_id*31) % 40 AS INT) AS w1,
        |         CAST((d.doc_id*37 + 11) % 40 AS INT) AS w2r
-       |  FROM documents d WHERE d.doc_id % 7 IN (1, 3, 5)
+       |  FROM documents d WHERE d.doc_id % 7 IN (1, 2, 3, 5)
        |),
-       |xx AS (SELECT *, CASE WHEN w2r % 20 = w1 % 20
-       |                      THEN (w2r+1) % 40 ELSE w2r END AS w2 FROM x)""".stripMargin
+       |xx AS (SELECT *,
+       |       CASE WHEN w2r % 20 = w1 % 20 THEN (w2r+1) % 40 ELSE w2r END AS w2,
+       |       CASE WHEN lasts >= 2 AND ($gendersL)[s2pi+1] = ($gendersL)[tpi+1]
+       |              THEN s2pi
+       |            WHEN lasts >= 1 AND ($gendersL)[s1pi+1] = ($gendersL)[tpi+1]
+       |              THEN s1pi
+       |            ELSE tpi END AS api
+       |       FROM x)""".stripMargin
 
   // surface-form snippets for the extra sentences
   private val tourPerson = s"($personsL)[tpi+1]"
@@ -74,6 +88,13 @@ object OracleSql {
   private val moneyText =
     s"$moneyPerson || ' paid $$' || amt || ' million.'"
   private val marryText = s"$sp1 || ' married ' || $sp2 || '.'"
+  // coref sentence (k7=2): pronoun surface from the s=0 gender; the
+  // RESOLVED argument is the antecedent person (api); the gpe reuses the
+  // s=0 (tgi, tal) formulas like the tour sentence
+  private val pronPerson = s"($personsL)[api+1]"
+  private val pronWord =
+    s"CASE WHEN ($gendersL)[tpi+1] = 'M' THEN 'He' ELSE 'She' END"
+  private val pronText = s"$pronWord || ' toured ' || $tourGpe || '.'"
 
   /** Tour sentences soft-match the `visited` rule (one word substitution,
     * 0.8/3 < 0.5 threshold) — the nearest rule deterministically. */
@@ -86,7 +107,10 @@ object OracleSql {
        |FROM bb
        |UNION ALL
        |SELECT CAST(id AS VARCHAR), $tourPerson, 'visited', $tourGpe
-       |FROM xx WHERE k7 = 1""".stripMargin
+       |FROM xx WHERE k7 = 1
+       |UNION ALL
+       |SELECT CAST(id AS VARCHAR), $pronPerson, 'visited', $tourGpe
+       |FROM xx WHERE k7 = 2""".stripMargin
 
   val kgCanonicalTriples: String =
     s"""$baseCte$xtraCte
@@ -100,13 +124,17 @@ object OracleSql {
        |UNION ALL
        |SELECT CAST(id AS VARCHAR), $tourPerson, 'visited', $tourGpe,
        |       $tourPerson, $tourGpeCanon
-       |FROM xx WHERE k7 = 1""".stripMargin
+       |FROM xx WHERE k7 = 1
+       |UNION ALL
+       |SELECT CAST(id AS VARCHAR), $pronPerson, 'visited', $tourGpe,
+       |       $pronPerson, $tourGpeCanon
+       |FROM xx WHERE k7 = 2""".stripMargin
 
   val kgPathTypes: String =
     s"""$baseCte$xtraCte
        |SELECT type1, path, type2, count(*) AS cnt FROM (
        |  SELECT 'PERSON' AS type1, ($pathsL)[ri] AS path, 'GPE' AS type2 FROM bb
-       |  UNION ALL SELECT 'PERSON', 'nsubj-1:tour:dobj', 'GPE' FROM xx WHERE k7 = 1
+       |  UNION ALL SELECT 'PERSON', 'nsubj-1:tour:dobj', 'GPE' FROM xx WHERE k7 IN (1, 2)
        |  UNION ALL SELECT 'PERSON', 'nsubj-1:pay:dobj', 'MONEY' FROM xx WHERE k7 = 3
        |  UNION ALL SELECT 'PERSON(1)', 'nsubj-1:marry:dobj', 'PERSON(2)' FROM xx WHERE k7 = 5
        |) GROUP BY 1, 2, 3""".stripMargin
@@ -123,6 +151,8 @@ object OracleSql {
        |  FROM bb
        |  UNION ALL SELECT $tourPerson, 'nsubj-1:tour:dobj', $tourGpe, $tourText
        |  FROM xx WHERE k7 = 1
+       |  UNION ALL SELECT $pronPerson, 'nsubj-1:tour:dobj', $tourGpe, $pronText
+       |  FROM xx WHERE k7 = 2
        |  UNION ALL SELECT $moneyPerson, 'nsubj-1:pay:dobj', $moneyObj, $moneyText
        |  FROM xx WHERE k7 = 3
        |  UNION ALL SELECT $sp1, 'nsubj-1:marry:dobj', $sp2, $marryText
@@ -147,7 +177,7 @@ object OracleSql {
     s"""$baseCte$xtraCte,
        |allp AS (
        |  SELECT ($pathsL)[ri] AS path FROM bb
-       |  UNION ALL SELECT 'nsubj-1:tour:dobj' FROM xx WHERE k7 = 1
+       |  UNION ALL SELECT 'nsubj-1:tour:dobj' FROM xx WHERE k7 IN (1, 2)
        |  UNION ALL SELECT 'nsubj-1:pay:dobj' FROM xx WHERE k7 = 3
        |  UNION ALL SELECT 'nsubj-1:marry:dobj' FROM xx WHERE k7 = 5
        |),
@@ -223,8 +253,8 @@ object OracleSql {
        |UNION ALL
        |SELECT CAST(id AS VARCHAR), $filler + (id % 3 + 1) + $totalMedia,
        |       'text',
-       |       CASE k7 WHEN 1 THEN $tourText WHEN 3 THEN $moneyText
-       |               ELSE $marryText END, ''
+       |       CASE k7 WHEN 1 THEN $tourText WHEN 2 THEN $pronText
+       |               WHEN 3 THEN $moneyText ELSE $marryText END, ''
        |FROM xx""".stripMargin
   }
 
@@ -372,11 +402,16 @@ object OracleSql {
        |             (coalesce(bg.bg_doc_freq, 0) + 1), 6) AS score
        |FROM fg LEFT JOIN bg ON fg.term = bg.term""".stripMargin
 
+  /** O3 (top-K queue, size 10): deterministic (score desc, term)
+    * ordering — same rounded-double score formula on both sides. */
+  lazy val kgTermRankTop10: String =
+    kgTermRank + "\nORDER BY score DESC, fg.term LIMIT 10"
+
   val kgPathRank: String =
     s"""$baseCte$xtraCte,
        |allp AS (
        |  SELECT id, 'PERSON' AS type1, ($pathsL)[ri] AS path, 'GPE' AS type2 FROM bb
-       |  UNION ALL SELECT id, 'PERSON', 'nsubj-1:tour:dobj', 'GPE' FROM xx WHERE k7 = 1
+       |  UNION ALL SELECT id, 'PERSON', 'nsubj-1:tour:dobj', 'GPE' FROM xx WHERE k7 IN (1, 2)
        |  UNION ALL SELECT id, 'PERSON', 'nsubj-1:pay:dobj', 'MONEY' FROM xx WHERE k7 = 3
        |  UNION ALL SELECT id, 'PERSON(1)', 'nsubj-1:marry:dobj', 'PERSON(2)' FROM xx WHERE k7 = 5
        |),
@@ -399,6 +434,8 @@ object OracleSql {
        |  FROM bb
        |  UNION ALL SELECT $tourPerson || ':::' || $tourGpe, 'nsubj-1:tour:dobj'
        |  FROM xx WHERE k7 = 1
+       |  UNION ALL SELECT $pronPerson || ':::' || $tourGpe, 'nsubj-1:tour:dobj'
+       |  FROM xx WHERE k7 = 2
        |  UNION ALL SELECT $moneyPerson || ':::' || $moneyObj, 'nsubj-1:pay:dobj'
        |  FROM xx WHERE k7 = 3
        |  UNION ALL SELECT $sp1 || ':::' || $sp2, 'nsubj-1:marry:dobj'
@@ -523,7 +560,10 @@ object OracleSql {
        |FROM bb
        |UNION ALL
        |SELECT CAST(id AS VARCHAR), $tourPerson, 'visited', $tourGpe
-       |FROM xx WHERE k7 = 1""".stripMargin
+       |FROM xx WHERE k7 = 1
+       |UNION ALL
+       |SELECT CAST(id AS VARCHAR), $pronPerson, 'visited', $tourGpe
+       |FROM xx WHERE k7 = 2""".stripMargin
 
   private lazy val adjsL = sqlList(Gen.fillAdjs)
 
@@ -549,7 +589,7 @@ object OracleSql {
        |  UNION ALL SELECT id, CASE WHEN al THEN ($aliasesL)[gi+1]
        |                            ELSE ($gpesL)[gi+1] END || '/nnp' FROM bb
        |  UNION ALL SELECT id, $tourPerson || '/nnp' FROM xx WHERE k7 = 1
-       |  UNION ALL SELECT id, $tourGpe || '/nnp' FROM xx WHERE k7 = 1
+       |  UNION ALL SELECT id, $tourGpe || '/nnp' FROM xx WHERE k7 IN (1, 2)
        |  UNION ALL SELECT id, $moneyPerson || '/nnp' FROM xx WHERE k7 = 3
        |  UNION ALL SELECT id, $sp1 || '/nnp' FROM xx WHERE k7 = 5
        |  UNION ALL SELECT id, $sp2 || '/nnp' FROM xx WHERE k7 = 5
@@ -569,7 +609,10 @@ object OracleSql {
        |FROM bb
        |UNION ALL
        |SELECT CAST(id AS VARCHAR), $tourPerson, 'visited', $tourGpe
-       |FROM xx WHERE k7 = 1""".stripMargin
+       |FROM xx WHERE k7 = 1
+       |UNION ALL
+       |SELECT CAST(id AS VARCHAR), $pronPerson, 'visited', $tourGpe
+       |FROM xx WHERE k7 = 2""".stripMargin
 
   /** Term doc/total frequencies (A3) over the combined term+name set. */
   val kgTermCounts: String =

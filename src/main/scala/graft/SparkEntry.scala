@@ -32,6 +32,7 @@ object SparkEntry {
     "kg_term_counts" -> ((s, dir) => KgPipeline.termCounts(s, dir)),
     "kg_term_doc_counts" -> ((s, dir) => KgPipeline.termDocCounts(s, dir)),
     "kg_term_rank" -> ((s, dir) => KgPipeline.termRank(s, dir)),
+    "kg_term_rank_top10" -> ((s, dir) => KgPipeline.termRankTop10(s, dir)),
     "kg_path_rank" -> ((s, dir) => KgPipeline.pathRank(s, dir)),
     "kg_dep_events" -> ((s, dir) => KgPipeline.depEvents(s, dir)),
     "kg_typeless_pairs" -> ((s, dir) => KgPipeline.typelessPairs(s, dir)),
@@ -75,6 +76,7 @@ object SparkEntry {
     "kg_term_counts" -> OracleSql.kgTermCounts,
     "kg_term_doc_counts" -> OracleSql.kgTermDocCounts,
     "kg_term_rank" -> OracleSql.kgTermRank,
+    "kg_term_rank_top10" -> OracleSql.kgTermRankTop10,
     "kg_path_rank" -> OracleSql.kgPathRank,
     "kg_dep_events" -> OracleSql.kgDepEvents,
     "kg_typeless_pairs" -> OracleSql.kgTypelessPairs,

@@ -96,12 +96,19 @@ object Nlp {
 
   // --- POS (lexicon tagger, cf. "tagPOS" stage) ----------------------------
 
+  /** Personal pronouns (PRP); the gendered subset drives coref
+    * agreement (resolvePronouns). */
+  private val pronounPos = Set("he", "she", "it", "they", "him", "her", "them")
+  val pronounGender: Map[String, String] =
+    Map("he" -> "M", "him" -> "M", "she" -> "F", "her" -> "F")
+
   private def posOf(w: String): String = {
     val lw = w.toLowerCase
     if (w == "'s") "POS"
     else if (".,;:!?".contains(w) && w.length == 1) "."
     else if (w == "$") "$"
     else if (w.forall(_.isDigit)) "CD"
+    else if (pronounPos(lw)) "PRP"
     else if (verbLemma.contains(lw) && lw != "born" && lw != "shot") tagVerb(lw)
     else if (lw == "born" || lw == "shot") "VBN"
     else if (prepositions(lw)) "IN"
@@ -156,9 +163,12 @@ object Nlp {
       auxiliaries(tokens(v0).word.toLowerCase))
     val main = chained.getOrElse(v0)
     chained.foreach(j => arcs += mk("vch", v0, j))
-    // subject = last NN/NNP before the first verb
+    // subject = last NN/NNP/PRP before the first verb (a pronoun subject
+    // parses like a one-token nominal; coref resolution is a later,
+    // document-level pass)
     val subj = (0 until v0).reverse
-      .find(i => tokens(i).pos == "NNP" || tokens(i).pos == "NN")
+      .find(i => tokens(i).pos == "NNP" || tokens(i).pos == "NN" ||
+        tokens(i).pos == "PRP")
     subj.foreach { s =>
       arcs += mk("nsubj", v0, s)
       // nn arc for a two-token name
@@ -383,6 +393,48 @@ object Nlp {
     val mentions = (names ++ values).sortBy(_.tokStart)
     val deps = parse(toks)
     Sentence(text, offset, toks, mentions, deps, extractTerms(toks, mentions))
+  }
+
+  /** First-name → gender lexicon for coref agreement (gazetteer-style,
+    * like the name dictionaries the reference's JET preprocessing
+    * ships). */
+  val firstNameGender: Map[String, String] = Gen.firstGenders
+
+  private def mentionGender(m: Name): Option[String] =
+    firstNameGender.get(m.surface.split(' ')(0))
+
+  /** X2 coref: document-level pronoun resolution over the per-sentence
+    * analyses. For each gendered personal pronoun token, the antecedent
+    * is the most recent PERSON mention in a PRECEDING sentence whose
+    * first-name gender agrees with the pronoun; the resolved mention
+    * spans the pronoun token but carries the antecedent's entity-level
+    * surface/canonical (ACE entity semantics: path and triple arguments
+    * decode to the entity's name, the way the reference's
+    * Ace.buildAceEntities mention→entity indirection feeds DepPaths —
+    * DepPaths.java:252-256). Unresolvable pronouns stay unannotated, and
+    * a resolved mention is dropped under the F11 crossing guard.
+    * Pure function — safe inside mapPartitions. */
+  def resolvePronouns(sentences: Vector[Sentence]): Vector[Sentence] = {
+    if (!sentences.exists(_.tokens.exists(_.pos == "PRP"))) return sentences
+    val out = Vector.newBuilder[Sentence]
+    // PERSON mentions of preceding sentences, most recent first
+    var seen: List[Name] = Nil
+    for (s <- sentences) {
+      val pron = s.tokens.iterator.zipWithIndex.flatMap { case (t, i) =>
+        if (t.pos != "PRP") None
+        else pronounGender.get(t.word.toLowerCase).flatMap { g =>
+          seen.find(m => mentionGender(m).contains(g))
+            .map(a => Name(i, i + 1, i, "PERSON", a.surface, a.canonical))
+        }
+      }.filter(p => s.names.forall(n =>
+        !crosses(p.tokStart, p.tokEnd, n.tokStart, n.tokEnd) &&
+          !(p.tokStart >= n.tokStart && p.tokEnd <= n.tokEnd))).toVector
+      out += (if (pron.isEmpty) s
+              else s.copy(names = (s.names ++ pron).sortBy(_.tokStart)))
+      // document order within the sentence reversed → most recent first
+      seen = s.names.filter(_.etype == "PERSON").reverse.toList ::: seen
+    }
+    out.result()
   }
 
   /** Sentence splitter: period boundary (texts in this domain are single

@@ -27,7 +27,10 @@ object Preprocess {
             }
           }
           .toVector
-        AnnotatedDoc(doc.doc_id, doc.spans, sentences)
+        // X2 coref: document-level pronoun resolution over the
+        // sentence-local analyses (term extraction stays surface-level —
+        // it ran per sentence before this pass)
+        AnnotatedDoc(doc.doc_id, doc.spans, Nlp.resolvePronouns(sentences))
       }
     }
   }

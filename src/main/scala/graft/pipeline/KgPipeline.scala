@@ -109,6 +109,17 @@ object KgPipeline {
           (coalesce(col("bg_cnt"), lit(0L)) + lit(1)), 6).as("score"))
   }
 
+  /** O3 top-K queue (size 10, the reference's recommendation queues,
+    * EntitySetExpander.java:266-304,399-410): the ranked term list
+    * reduced to its 10 best rows by (score desc, term) — plans as
+    * TakeOrderedAndProject, i.e. per-partition bounded heaps merged on
+    * the driver, the distributed form of a top-k queue (no full sort,
+    * no shuffle of the losers). */
+  def termRankTop10(spark: SparkSession, sfDir: String): DataFrame =
+    termRank(spark, sfDir)
+      .orderBy(col("score").desc, col("term"))
+      .limit(10)
+
   def depEvents(spark: SparkSession, sfDir: String): DataFrame =
     EntitySetStage.depEvents(annotated(spark, sfDir))
 

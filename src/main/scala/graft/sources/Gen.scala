@@ -29,6 +29,21 @@ object Gen {
     (0 until 40).map(i => firsts(i % 20) + " " + lasts((i * 7 + 3) % 20))
   }
 
+  /** First-name gender lexicon (the kind of name-gender dictionary the
+    * reference's JET pipeline ships for coref agreement). Drives both
+    * the generated pronoun surface and the resolver's compatibility
+    * check — and the oracle's independent recomputation. */
+  val firstGenders: Map[String, String] = Map(
+    "Fred" -> "M", "Harriet" -> "F", "Mary" -> "F", "John" -> "M",
+    "Alice" -> "F", "Robert" -> "M", "Susan" -> "F", "David" -> "M",
+    "Linda" -> "F", "James" -> "M", "Karen" -> "F", "Peter" -> "M",
+    "Nancy" -> "F", "Frank" -> "M", "Carol" -> "F", "Henry" -> "M",
+    "Diane" -> "F", "Walter" -> "M", "Janet" -> "F", "Arthur" -> "M")
+
+  /** Gender per person index (parallel to [[persons]]). */
+  val personGenders: IndexedSeq[String] =
+    persons.map(p => firstGenders(p.split(' ')(0)))
+
   val gpes: IndexedSeq[String] = Vector("Chicago", "Seattle", "Boston",
     "Denver", "Atlanta", "Houston", "Phoenix", "Dallas", "Portland", "Miami",
     "Detroit", "Memphis", "Baltimore", "Milwaukee", "Tucson", "Fresno",
@@ -95,13 +110,17 @@ object Gen {
   // id % 7 == 1: "P toured G."        — a second dobj predicate over the
   //   SAME (person, gpe) formulas as sentence s=0, so tour trees share
   //   argument pairs with visit trees (exercises the event bootstrap)
+  // id % 7 == 2: "He/She toured G."   — a pronoun subject (X2 coref):
+  //   the pronoun's gender is that of the s=0 person, and resolution
+  //   must skip later opposite-gender persons to the most recent
+  //   gender-compatible antecedent
   // id % 7 == 3: "P paid $K million." — value mentions (F12): the MONEY
   //   arg reaches path mining and the tagger
   // id % 7 == 5: "P1 married P2."     — a symmetric PERSON-PERSON
   //   predicate (exercises (1)/(2) subscripts + swap12 seed resolution)
 
   def extraKind(id: Long): Int = (id % 7) match {
-    case 1 => 1; case 3 => 2; case 5 => 3; case _ => 0
+    case 1 => 1; case 3 => 2; case 5 => 3; case 2 => 4; case _ => 0
   }
 
   def tourSentence(id: Long): String = {
@@ -127,10 +146,33 @@ object Gen {
   def marrySentence(id: Long): String =
     s"${persons(marryIdx1(id))} married ${persons(marryIdx2(id))}."
 
+  /** Pronoun surface for the coref sentence: the gender of the FIRST
+    * (s=0) sentence's person — so when later sentences name
+    * opposite-gender persons, the resolver must skip them. */
+  def pronoun(id: Long): String =
+    if (personGenders(personIdx(id, 0)) == "M") "He" else "She"
+
+  /** The gender-compatible most recent antecedent the resolver must
+    * find: the largest s ≤ (doc's last sentence) whose person matches
+    * the pronoun's gender; s=0 always matches by construction. */
+  def pronAntecedentIdx(id: Long): Int = {
+    val g = personGenders(personIdx(id, 0))
+    (nSentences(id) - 1 to 0 by -1)
+      .map(s => personIdx(id, s))
+      .find(pi => personGenders(pi) == g)
+      .get
+  }
+
+  def pronSentence(id: Long): String = {
+    val g = if (usesAlias(id, 0)) gpeAliases(gpeIdx(id, 0)) else gpes(gpeIdx(id, 0))
+    s"${pronoun(id)} toured $g."
+  }
+
   def extraSentence(id: Long): Option[String] = extraKind(id) match {
     case 1 => Some(tourSentence(id))
     case 2 => Some(moneySentence(id))
     case 3 => Some(marrySentence(id))
+    case 4 => Some(pronSentence(id))
     case _ => None
   }
 
