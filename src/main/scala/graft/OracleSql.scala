@@ -565,6 +565,28 @@ object OracleSql {
        |SELECT CAST(id AS VARCHAR), $pronPerson, 'visited', $tourGpe
        |FROM xx WHERE k7 = 2""".stripMargin
 
+  /** A15/J9: P/R of the soft decode (kgTriplesSoft) vs the full decode
+    * (kgTriples) — distinct-triple semi/anti counts, like
+    * Export.score. */
+  lazy val kgTriplePr: String =
+    s"""WITH kk AS ($kgTriples),
+       |rr AS ($kgTriplesSoft),
+       |k AS (SELECT DISTINCT doc_id, subj, pred, obj FROM kk),
+       |r AS (SELECT DISTINCT doc_id, subj, pred, obj FROM rr),
+       |c AS (SELECT count(*) AS n FROM r WHERE EXISTS (
+       |  SELECT 1 FROM k WHERE k.doc_id = r.doc_id AND k.subj = r.subj
+       |    AND k.pred = r.pred AND k.obj = r.obj)),
+       |s AS (SELECT count(*) AS n FROM r WHERE NOT EXISTS (
+       |  SELECT 1 FROM k WHERE k.doc_id = r.doc_id AND k.subj = r.subj
+       |    AND k.pred = r.pred AND k.obj = r.obj)),
+       |m AS (SELECT count(*) AS n FROM k WHERE NOT EXISTS (
+       |  SELECT 1 FROM r WHERE k.doc_id = r.doc_id AND k.subj = r.subj
+       |    AND k.pred = r.pred AND k.obj = r.obj))
+       |SELECT c.n AS correct, s.n AS spurious, m.n AS missing,
+       |       round(CAST(c.n AS DOUBLE) / (c.n + s.n), 6) AS precision,
+       |       round(CAST(c.n AS DOUBLE) / (c.n + m.n), 6) AS recall
+       |FROM c, s, m""".stripMargin
+
   private lazy val adjsL = sqlList(Gen.fillAdjs)
 
   /** Unified term-occurrence set: filler NP suffixes (single nouns +

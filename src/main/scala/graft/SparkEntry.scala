@@ -47,6 +47,7 @@ object SparkEntry {
     "kg_event_triples" -> ((s, dir) => KgPipeline.eventTriples(s, dir)),
     "kg_rules" -> ((s, dir) => KgPipeline.rulesTable(s, dir)),
     "kg_triples_soft" -> ((s, dir) => KgPipeline.triplesSoft(s, dir)),
+    "kg_triple_pr" -> ((s, dir) => KgPipeline.triplePr(s, dir)),
     "kg_triples_emb_soft" -> ((s, dir) => KgPipeline.triplesEmbSoft(s, dir)),
     "kg_canonical_triples" -> ((s, dir) => KgPipeline.canonicalTriples(s, dir)),
     "kg_value_triples" -> ((s, dir) => KgPipeline.valueTriples(s, dir)),
@@ -90,6 +91,7 @@ object SparkEntry {
     "kg_event_triples" -> OracleSql.kgEventTriples,
     "kg_rules" -> OracleSql.kgRules,
     "kg_triples_soft" -> OracleSql.kgTriplesSoft,
+    "kg_triple_pr" -> OracleSql.kgTriplePr,
     "kg_triples_emb_soft" -> OracleSql.kgTriplesEmbSoft,
     "kg_canonical_triples" -> OracleSql.kgCanonicalTriples,
     "kg_value_triples" -> OracleSql.kgValueTriples,

@@ -225,6 +225,24 @@ object KgPipeline {
     TaggerStage.triples(inst, rs, wordSim).toDF()
   }
 
+  /** A15/J9 surfaced in the gate: triple-level P/R of the
+    * withheld-rule decode (diedIn removed, so its candidates soft-match
+    * to bornIn — type errors) scored against the full-rule decode as
+    * the key. The same distributed semi/anti-join scorer evidences the
+    * north-rule "P/R vs reference" metric. One persisted instance
+    * table feeds both decodes and the score joins. */
+  def triplePr(spark: SparkSession, sfDir: String): DataFrame = {
+    val inst = instances(spark, sfDir).persist()
+    val repr = DepPathsStage.pathReprTable(inst)
+    val all = TaggerStage.rulesFromSeeds(spark, repr, seedPhrases)
+    val key = TaggerStage.triples(inst, all)
+    val resp = TaggerStage.triples(inst, all.filterNot(_.relName == "diedIn"))
+    Export.score(key.toDF(), resp.toDF())
+      .select(col("correct"), col("spurious"), col("missing"),
+        round(col("precision"), 6).as("precision"),
+        round(col("recall"), 6).as("recall"))
+  }
+
   def canonicalTriples(spark: SparkSession, sfDir: String): DataFrame =
     Canonicalize.canonicalTriples(triples(spark, sfDir),
       graft.nlp.Nlp.gpeCanonical).toDF()

@@ -116,6 +116,12 @@ class PlanSpec extends SparkSpec {
     assert(plan(ids).contains("TakeOrderedAndProject"))
   }
 
+  test("term-rank top-10 plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan(KgPipeline.termRankTop10(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("GlobalSort") && !p.contains("+- Sort "))
+  }
+
   test("seed-rule resolution join broadcasts the seed side") {
     val inst = graft.operators.DepPathsStage.instances(
       KgPipeline.annotated(spark, dir))
