@@ -1,34 +1,31 @@
 package graft
 
-import graft.operators.{DepPathsStage, Preprocess}
-import graft.sources.Gen
+import graft.datapipe.Dedup
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Throwaway profiling entry (not part of the driver contract). */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().appName("probe").getOrCreate()
-    val cpus = spark.sparkContext.defaultParallelism
-    spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder().appName("probe")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-    def mine(n: Long) =
-      DepPathsStage.instances(Preprocess.annotate(
-        spark.range(0, n, 1, cpus * 4).as[Long].map(Gen.doc _)))
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val c = f
       println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$c")
     }
-    time("warmup")(mine(5000).count())
-    Seq(300000L, 600000L, 1000000L).foreach { n =>
-      time(s"count n=$n")(mine(n).count())
-    }
-    Seq(300000L, 1000000L).foreach { n =>
-      val p = mine(n).persist()
-      time(s"persist n=$n")(p.count())
-      p.unpersist(blocking = true)
-    }
+    time("warmup")(docs.count())
+    time("simhash_full")(Dedup.simhashNearDup(docs).count())
+    spark.catalog.clearCache()
+    time("simhash_full2")(Dedup.simhashNearDup(docs).count())
+    spark.catalog.clearCache()
     spark.stop()
   }
 }

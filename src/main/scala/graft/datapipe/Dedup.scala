@@ -44,7 +44,12 @@ object Dedup {
   /** All pairs with n-gram Jaccard >= threshold (brute shingle join). */
   def ngramJaccard(docs: DataFrame, n: Int = 3,
                    threshold: Double = 0.7): DataFrame = {
-    val s = shingles(docs, n)
+    // persist: consumed three times (size marginals + both self-join
+    // sides); Catalyst does NOT reuse the distinct's exchange across
+    // consumers (fresh exprIds per subtree), so without this the scan +
+    // explode + distinct shuffle runs once per consumer. Released by the
+    // caller's clearCache.
+    val s = shingles(docs, n).persist()
     val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val pairs = s.as("a").join(s.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
@@ -93,7 +98,12 @@ object Dedup {
     * the LSH recall holds (see DatapipeSpec) the results are equal. */
   def minhashLsh(docs: DataFrame, n: Int = 3,
                  threshold: Double = 0.8): DataFrame = {
-    val s = shingles(docs, n)
+    // persist both shared subtrees (no ReuseExchange across consumers):
+    // the shingle set feeds the signatures, the size marginals and both
+    // verify-join sides; the banded signatures feed both candidate-join
+    // sides (the signature UDF is the operator's dominant CPU cost —
+    // computing it twice would double the whole stage)
+    val s = shingles(docs, n).persist()
     val rows = NumHashes / Bands
     val sigUdf = udf((grams: Seq[String]) => signature(grams))
     val sigs = s.groupBy(col("doc_id"))
@@ -103,7 +113,7 @@ object Dedup {
     val banded = sigs.select(col("doc_id"), posexplode(
       transform(sequence(lit(0), lit(Bands - 1)),
         b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b)))
-      .as(Seq("band", "bkey")))
+      .as(Seq("band", "bkey"))).persist()
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -159,12 +169,25 @@ object Dedup {
     * by pigeonhole, a pair within hamming distance 15 must agree on at
     * least one band: blocking recall is exact for the default `maxDist`.
     * The far-pair filter runs inside codegen BEFORE the distinct, so
-    * band collisions that are not near-dups never reach a shuffle. */
+    * band collisions that are not near-dups never reach a shuffle.
+    *
+    * Scale note: exact blocking at radius 15 forces 4-bit buckets, so
+    * within-bucket candidate pairs grow as n^2/16 — fine at fixture
+    * scale, deliberate: Jaccard-0.8 true pairs on this corpus reach
+    * distance 14 (measured), and NO exact scheme at that radius has
+    * scalable buckets (t-of-b block-concatenation keys a la Manku
+    * WWW'07 need b >= dist + t, i.e. C(21,10)-ish key explosions).
+    * Classic simhash dedup runs at radius <= 3 with 4 x 16-bit bands
+    * (65k buckets); high-radius Jaccard dedup at 100 TB is
+    * [[minhashLsh]]'s job, whose banded buckets DO scale. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 15): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val sh = udf((t: String) => simhash(simhashFeatures(t)))
-    val sigs = docs.select(col("doc_id"), sh(col("text")).as("sig"))
+    // persist: the self-join consumes this subtree twice; without it the
+    // parquet scan + simhash UDF run once per side (released by the
+    // caller's clearCache, like every per-query cache here)
+    val sigs = docs.select(col("doc_id"), sh(col("text")).as("sig")).persist()
     val banded = sigs.select(col("doc_id"), col("sig"), posexplode(
       array((0 until 16).map(b =>
         shiftright(col("sig"), b * 4).bitwiseAND(lit(0xfL))): _*))
@@ -192,7 +215,9 @@ object Dedup {
   def simhashNearDup(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                      maxDist: Int = 15): DataFrame = {
     val cand = simhashPairs(docs, maxDist).select(col("ida"), col("idb"))
-    val s = shingles(docs, n)
+    // consumed three times (size marginals + both sides of the
+    // shared-gram join)
+    val s = shingles(docs, n).persist()
     val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val shared = s.select(col("doc_id").as("ida"), col("gram"))
       .join(cand, "ida")
@@ -238,10 +263,14 @@ object Dedup {
         key
       }
     })
+    // persist the shared subtrees (no ReuseExchange across consumers):
+    // vecs feeds the band keys and both verify-join sides; banded feeds
+    // both candidate-join sides — without the persist the hyperplane
+    // projections run once per side
     val vecs = emb.select(col("vec_id").cast("long").as("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+      transform(col("embedding"), x => x.cast("double")).as("v")).persist()
     val banded = vecs.select(col("vec_id"),
-      posexplode(keysUdf(col("v"))).as(Seq("band", "bkey")))
+      posexplode(keysUdf(col("v"))).as(Seq("band", "bkey"))).persist()
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.vec_id") < col("b.vec_id"))
