@@ -565,6 +565,14 @@ object OracleSql {
        |SELECT CAST(id AS VARCHAR), $pronPerson, 'visited', $tourGpe
        |FROM xx WHERE k7 = 2""".stripMargin
 
+  /** X2 coref slice: the pronoun sentences' triples alone — subject is
+    * always the resolved antecedent. */
+  val kgCorefTriples: String =
+    s"""$baseCte$xtraCte
+       |SELECT CAST(id AS VARCHAR) AS doc_id, $pronPerson AS subj,
+       |       'visited' AS pred, $tourGpe AS obj
+       |FROM xx WHERE k7 = 2""".stripMargin
+
   /** A15/J9: P/R of the soft decode (kgTriplesSoft) vs the full decode
     * (kgTriples) — distinct-triple semi/anti counts, like
     * Export.score. */

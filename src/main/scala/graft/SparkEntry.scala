@@ -52,6 +52,7 @@ object SparkEntry {
     "kg_canonical_triples" -> ((s, dir) => KgPipeline.canonicalTriples(s, dir)),
     "kg_value_triples" -> ((s, dir) => KgPipeline.valueTriples(s, dir)),
     "kg_symmetric_triples" -> ((s, dir) => KgPipeline.symmetricTriples(s, dir)),
+    "kg_coref_triples" -> ((s, dir) => KgPipeline.corefTriples(s, dir)),
     "kg_event_bootstrap_scores" -> ((s, dir) =>
       KgPipeline.eventBootstrapScores(s, dir)),
     "q1_agg" -> ((s, dir) => {
@@ -96,6 +97,7 @@ object SparkEntry {
     "kg_canonical_triples" -> OracleSql.kgCanonicalTriples,
     "kg_value_triples" -> OracleSql.kgValueTriples,
     "kg_symmetric_triples" -> OracleSql.kgSymmetricTriples,
+    "kg_coref_triples" -> OracleSql.kgCorefTriples,
     "kg_event_bootstrap_scores" -> OracleSql.kgEventBootstrapScores,
     "q1_agg" -> """SELECT l_returnflag, l_linestatus,
       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

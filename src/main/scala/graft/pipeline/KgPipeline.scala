@@ -225,6 +225,21 @@ object KgPipeline {
     TaggerStage.triples(inst, rs, wordSim).toDF()
   }
 
+  /** X2 coref surfaced on its own: triples whose mined instance came
+    * from a pronoun-subject sentence — the subject decodes to the
+    * RESOLVED antecedent entity, never the pronoun. (The same rows are
+    * also inside kg_triples; this slice makes the coref path
+    * independently hash-verified.) Rules resolve over the FULL corpus
+    * repr table; only the tagging input is sliced. */
+  def corefTriples(spark: SparkSession, sfDir: String): DataFrame = {
+    val inst = instances(spark, sfDir).persist()
+    val repr = DepPathsStage.pathReprTable(inst)
+    val rs = TaggerStage.rulesFromSeeds(spark, repr, seedPhrases)
+    val pron = inst.filter(col("example").startsWith("He ") ||
+      col("example").startsWith("She "))
+    TaggerStage.triples(pron, rs).toDF()
+  }
+
   /** A15/J9 surfaced in the gate: triple-level P/R of the
     * withheld-rule decode (diedIn removed, so its candidates soft-match
     * to bornIn — type errors) scored against the full-rule decode as
