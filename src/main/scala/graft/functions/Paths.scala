@@ -161,6 +161,10 @@ object Paths {
     "dozen", "hundred", "thousand", "million", "lot", "group", "series")
 
   def regularize(path: String): String = {
+    // fast path: the quantifier pattern requires a ":prep:of:pobj" hop —
+    // absent (the overwhelmingly common case) the path is unchanged, so
+    // skip the split + rebuild entirely
+    if (!path.contains(":prep:of:pobj")) return path
     val segs = path.split(':')
     // pattern ... q(prep)(of)(pobj) ... : drop "q:prep:of:pobj" -> direct hop
     val out = mutable.ArrayBuffer.empty[String]
@@ -175,7 +179,13 @@ object Paths {
     out.mkString(":")
   }
 
-  def arcCount(path: String): Int = (path.split(':').length + 1) / 2
+  def arcCount(path: String): Int = {
+    // segments = colons + 1 (a path never ends in ':'); avoid the split
+    var colons = 0
+    var i = 0
+    while (i < path.length) { if (path.charAt(i) == ':') colons += 1; i += 1 }
+    (colons + 2) / 2
+  }
 
   /** Label transcriptions used during linearization
     * (DepPath.java:196-311). */
@@ -192,26 +202,62 @@ object Paths {
     * (DepPathMap.java:231-234). */
   def linearize(sentence: Sentence, nodes: Vector[Int],
                 labels: Vector[String], type1: String, type2: String): String = {
-    val endpoint = Map(nodes.head -> type1, nodes.last -> type2)
-    val onPath = nodes.toSet
-    val sthRoles = Set("dobj", "nsubj", "iobj")
-    val sth = nodes.iterator
-      .filter(n => sentence.tokens(n).pos.startsWith("VB"))
-      .flatMap(v => sentence.deps.iterator.collect {
-        case d if d.srcPos == v && sthRoles(d.dep) && !onPath(d.tgtPos) =>
-          d.tgtPos
-      })
-      .toSet
-    val positioned = (nodes.map(n => n -> endpoint.getOrElse(n,
-        sentence.tokens(n).word)) ++ sth.toSeq.map(_ -> "STH"))
-      .sortBy(_._1).map(_._2)
-    val extra = labels.flatMap(l => transcriptions.get(l.stripSuffix("-1")))
-    val all = (positioned ++ extra).toList
-    val dedup = all.foldLeft(List.empty[String]) {
-      case (acc, w) if acc.headOption.contains(w) => acc
-      case (acc, w) => w :: acc
-    }.reverse
-    normalizeRepr(dedup.mkString(" "))
+    // allocation-light rewrite of: endpoints replace head/last node
+    // words, off-path STH dependents of on-path verbs merge in sentence
+    // order, transcribed labels append, adjacent duplicates drop,
+    // normalize. Runs once per mined instance — identical output to the
+    // original Map/Set/fold version (guarded by the repr oracles).
+    val first = nodes.head
+    val last = nodes.last
+    // (position, word) pairs: path nodes + STH placeholders
+    val pos = new scala.collection.mutable.ArrayBuffer[Int](nodes.length + 2)
+    val word = new scala.collection.mutable.ArrayBuffer[String](nodes.length + 2)
+    nodes.foreach { n =>
+      pos += n
+      word += (if (n == first) type1 else if (n == last) type2
+               else sentence.tokens(n).word)
+    }
+    def onPath(p: Int): Boolean = nodes.contains(p)
+    nodes.foreach { n =>
+      if (sentence.tokens(n).pos.startsWith("VB")) {
+        sentence.deps.foreach { d =>
+          if (d.srcPos == n &&
+              (d.dep == "dobj" || d.dep == "nsubj" || d.dep == "iobj") &&
+              !onPath(d.tgtPos) && !pos.contains(d.tgtPos)) {
+            pos += d.tgtPos
+            word += "STH"
+          }
+        }
+      }
+    }
+    // insertion sort by position (tiny arrays; stable — path nodes were
+    // appended before STH entries, matching the original sortBy)
+    var i = 1
+    while (i < pos.length) {
+      val p = pos(i); val w = word(i)
+      var j = i - 1
+      while (j >= 0 && pos(j) > p) {
+        pos(j + 1) = pos(j); word(j + 1) = word(j); j -= 1
+      }
+      pos(j + 1) = p; word(j + 1) = w
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(32)
+    var prev: String = null
+    def add(w: String): Unit = {
+      if (w != prev) {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(w)
+        prev = w
+      }
+    }
+    i = 0
+    while (i < word.length) { add(word(i)); i += 1 }
+    labels.foreach { l =>
+      val base = if (l.endsWith("-1")) l.substring(0, l.length - 2) else l
+      transcriptions.get(base).foreach(add)
+    }
+    normalizeRepr(sb.toString)
   }
 
   /** X4 ngram events (DepPaths.java:399-409): overlapping
@@ -227,8 +273,25 @@ object Paths {
   /** lowercase + collapse whitespace (F15, DepPathMap.java:231-234) —
     * but keep type placeholders distinguishable by uppercasing them at
     * lookup time instead; reprs compare case-insensitively. */
-  def normalizeRepr(repr: String): String =
-    repr.toLowerCase.replaceAll("\\s+", " ").trim
+  def normalizeRepr(repr: String): String = {
+    // single-pass lowercase + whitespace collapse + trim (this runs once
+    // per mined instance — the regex replaceAll version was a measurable
+    // slice of the extraction hot loop)
+    val n = repr.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var pendingSpace = false
+    while (i < n) {
+      val c = repr.charAt(i)
+      if (Character.isWhitespace(c)) { if (sb.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(Character.toLowerCase(c))
+      }
+      i += 1
+    }
+    sb.toString
+  }
 
   /** Swap `(1)`/`(2)` subscripts for symmetric-type paths (F16,
     * DepPathMap.java:115-120). */

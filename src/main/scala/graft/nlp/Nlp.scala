@@ -87,12 +87,44 @@ object Nlp {
 
   // --- tokenizer ----------------------------------------------------------
 
-  private val tokenRe = "[A-Za-z][A-Za-z-]*|[0-9]+|'s|[.,;:!?$]".r
+  // token grammar: [A-Za-z][A-Za-z-]* | [0-9]+ | 's | [.,;:!?$]
+  // (hand-rolled scanner — the regex findAllMatchIn version was the
+  // single hottest slice of the extraction loop; semantics identical)
+  private def isLetter(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
 
-  def tokenize(text: String): Vector[Token] =
-    tokenRe.findAllMatchIn(text).map { m =>
-      Token(m.matched, m.start, m.end, posOf(m.matched))
-    }.toVector
+  def tokenize(text: String): Vector[Token] = {
+    val out = Vector.newBuilder[Token]
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (isLetter(c)) {
+        val s = i
+        i += 1
+        while (i < n && { val d = text.charAt(i); isLetter(d) || d == '-' }) i += 1
+        val w = text.substring(s, i)
+        out += Token(w, s, i, posOf(w))
+      } else if (c >= '0' && c <= '9') {
+        val s = i
+        i += 1
+        while (i < n && { val d = text.charAt(i); d >= '0' && d <= '9' }) i += 1
+        val w = text.substring(s, i)
+        out += Token(w, s, i, posOf(w))
+      } else if (c == '\'' && i + 1 < n && text.charAt(i + 1) == 's') {
+        out += Token("'s", i, i + 2, "POS")
+        i += 2
+      } else if (c == '.' || c == ',' || c == ';' || c == ':' || c == '!' ||
+                 c == '?') {
+        out += Token(String.valueOf(c), i, i + 1, ".")
+        i += 1
+      } else if (c == '$') {
+        out += Token("$", i, i + 1, "$")
+        i += 1
+      } else i += 1
+    }
+    out.result()
+  }
 
   // --- POS (lexicon tagger, cf. "tagPOS" stage) ----------------------------
 
@@ -102,20 +134,20 @@ object Nlp {
   val pronounGender: Map[String, String] =
     Map("he" -> "M", "him" -> "M", "she" -> "F", "her" -> "F")
 
+  /** POS of a word token (the tokenizer tags 's / punctuation / $
+    * directly; digit runs dispatch on the first char). */
   private def posOf(w: String): String = {
+    val c0 = w.charAt(0)
+    if (c0 >= '0' && c0 <= '9') return "CD"
     val lw = w.toLowerCase
-    if (w == "'s") "POS"
-    else if (".,;:!?".contains(w) && w.length == 1) "."
-    else if (w == "$") "$"
-    else if (w.forall(_.isDigit)) "CD"
-    else if (pronounPos(lw)) "PRP"
+    if (pronounPos(lw)) "PRP"
     else if (verbLemma.contains(lw) && lw != "born" && lw != "shot") tagVerb(lw)
     else if (lw == "born" || lw == "shot") "VBN"
     else if (prepositions(lw)) "IN"
     else if (determiners(lw)) "DT"
     else if (adverbs(lw)) "RB"
     else if (adjectives(lw)) "JJ"
-    else if (w.head.isUpper) "NNP"
+    else if (c0 >= 'A' && c0 <= 'Z') "NNP"
     else "NN"
   }
 
@@ -262,22 +294,37 @@ object Nlp {
     * the F8 filter (TermCounter.java:186-197 — terms and names are
     * counted combined). */
   def extractTerms(tokens: Vector[Token], names: Vector[Name]): Vector[String] = {
-    val nameToks: Set[Int] =
-      names.flatMap(n => n.tokStart until n.tokEnd).toSet
+    val nt = tokens.length
+    val nameToks = new Array[Boolean](nt)
+    names.foreach(n => {
+      var j = n.tokStart
+      while (j < n.tokEnd && j < nt) { nameToks(j) = true; j += 1 }
+    })
     val out = Vector.newBuilder[String]
+    // lowercased words cached once (ok() and suffix building both need
+    // them; the per-check toLowerCase was a hot allocation)
+    val lw = new Array[String](nt)
+    def lwOf(j: Int): String = {
+      if (lw(j) == null) lw(j) = tokens(j).word.toLowerCase
+      lw(j)
+    }
     def ok(j: Int): Boolean =
       !nameToks(j) && (tokens(j).pos == "NN" || tokens(j).pos == "JJ") &&
-        tokens(j).word.length > 1 && !stopwords(tokens(j).word.toLowerCase)
+        tokens(j).word.length > 1 && !stopwords(lwOf(j))
     var i = 0
-    while (i < tokens.length) {
+    while (i < nt) {
       if (ok(i)) {
         var e = i
-        while (e + 1 < tokens.length && ok(e + 1)) e += 1
-        // suffixes must end at (and include) an NN head
+        while (e + 1 < nt && ok(e + 1)) e += 1
+        // suffixes must end at (and include) an NN head; build each
+        // suffix by prepending to the previous (no slice/map per suffix)
         if (tokens(e).pos == "NN") {
-          var s = e
+          var term = lwOf(e)
+          out += term
+          var s = e - 1
           while (s >= i) {
-            out += tokens.slice(s, e + 1).map(_.word.toLowerCase).mkString(" ")
+            term = lwOf(s) + " " + term
+            out += term
             s -= 1
           }
         }
