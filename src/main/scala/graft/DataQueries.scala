@@ -25,6 +25,17 @@ object DataQueries {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(docs(s, d))),
+    // near-dup cluster canonicalization: connected components over the
+    // LSH-verified near-dup pairs, representative = min doc in the
+    // cluster — the "keep one survivor per dup cluster" op of a
+    // training-data pipeline, on the same CC engine as entity
+    // canonicalization
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.minhashLsh(docs(s, d))
+        .select(col("ida").as("src"), col("idb").as("dst"))
+      graft.operators.Canonicalize.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("comp").as("rep_id"))
+    }),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupLsh(emb(s, d))),
     // --- similarity search ---
     "ann_topk" -> ((s, d) => Ann.bruteForceTopK(emb(s, d))),
@@ -228,6 +239,20 @@ object DataQueries {
       "dedup_ngram_jaccard" -> jaccardSql(0.7),
       // oracle valid because LSH recall at j>=0.8 with 32x3 bands is ~1-1e-10
       "dedup_minhash" -> jaccardSql(0.8),
+      // transitive closure over the near-dup pairs via recursive CTE;
+      // component representative = min reachable doc (incl. self)
+      "dedup_clusters" ->
+        s"""WITH RECURSIVE p0 AS (${jaccardSql(0.8)}),
+           |e AS (SELECT ida AS src, idb AS dst FROM p0
+           |      UNION SELECT idb, ida FROM p0),
+           |reach(src, dst) AS (
+           |  SELECT src, dst FROM e
+           |  UNION
+           |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+           |),
+           |allr AS (SELECT src, dst FROM reach
+           |         UNION SELECT src, src FROM e)
+           |SELECT src AS doc_id, min(dst) AS rep_id FROM allr GROUP BY 1""".stripMargin,
       "dedup_embedding" ->
         s"""$embCte,
            |dots AS (

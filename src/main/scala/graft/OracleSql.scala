@@ -453,6 +453,27 @@ object OracleSql {
        |FROM totals t LEFT JOIN shared sh ON t.path = sh.path
        |WHERE t.path <> '${Gen.predPaths(0)}'""".stripMargin
 
+  /** O2: candidate ranking over the bootstrap scores — path→repr is a
+    * pure function of the (finite) path inventory; dedupe-by-repr and
+    * the 200-cap are no-ops on this inventory (distinct reprs, < 200
+    * rows), so the oracle is scores + repr + floored norm. */
+  lazy val kgBootstrapCandidates: String = {
+    val reprCase = (Gen.predPaths.zip(Gen.predPhrases).map { case (p, ph) =>
+      s"WHEN '$p' THEN 'person $ph gpe'"
+    } ++ Seq(
+      "WHEN 'nsubj-1:tour:dobj' THEN 'person toured gpe'",
+      "WHEN 'nsubj-1:pay:dobj' THEN 'person paid money'",
+      "WHEN 'nsubj-1:marry:dobj' THEN 'person(1) married person(2)'"))
+      .mkString(" ")
+    s"""WITH sc AS ($kgBootstrapScores)
+       |SELECT path, total_count, score,
+       |       CASE path $reprCase END AS repr,
+       |       round(CAST(score AS DOUBLE) / greatest(total_count, 1), 6)
+       |         AS norm_score
+       |FROM sc
+       |WHERE CAST(score AS DOUBLE) / greatest(total_count, 1) >= 0.05""".stripMargin
+  }
+
   val kgEvents: String =
     s"""$baseCte$xtraCte
        |SELECT key, count(*) AS cnt FROM (

@@ -41,6 +41,8 @@ object SparkEntry {
     "kg_entity_expansion_filtered" -> ((s, dir) =>
       KgPipeline.entityExpansionFiltered(s, dir)),
     "kg_bootstrap_scores" -> ((s, dir) => KgPipeline.bootstrapScores(s, dir)),
+    "kg_bootstrap_candidates" -> ((s, dir) =>
+      KgPipeline.bootstrapCandidates(s, dir)),
     "kg_events" -> ((s, dir) => KgPipeline.events(s, dir)),
     "kg_event_instances" -> ((s, dir) => KgPipeline.eventInstances(s, dir)),
     "kg_event_repr" -> ((s, dir) => KgPipeline.eventRepr(s, dir)),
@@ -86,6 +88,7 @@ object SparkEntry {
     "kg_entity_expansion" -> OracleSql.kgEntityExpansion,
     "kg_entity_expansion_filtered" -> OracleSql.kgEntityExpansionFiltered,
     "kg_bootstrap_scores" -> OracleSql.kgBootstrapScores,
+    "kg_bootstrap_candidates" -> OracleSql.kgBootstrapCandidates,
     "kg_events" -> OracleSql.kgEvents,
     "kg_event_instances" -> OracleSql.kgEventInstances,
     "kg_event_repr" -> OracleSql.kgEventRepr,

@@ -158,6 +158,18 @@ object KgPipeline {
     BootstrapStage.sharedArgScores(instances(spark, sfDir),
       seedPaths = Set(Gen.predPaths(0)))
 
+  /** O2 surfaced in the gate: the ranked bootstrap candidate list —
+    * norm score floor 0.05, dedupe-by-repr window, cap 200
+    * (Bootstrap.java:46-55,262-286). norm_score rounded here for
+    * cross-engine hash comparability. */
+  def bootstrapCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    val inst = instances(spark, sfDir).persist()
+    val scores = BootstrapStage.sharedArgScores(inst,
+      seedPaths = Set(Gen.predPaths(0)))
+    BootstrapStage.candidates(scores, DepPathsStage.pathReprTable(inst))
+      .withColumn("norm_score", round(col("norm_score"), 6))
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame =
     EventsStage.eventCounts(EventsStage.events(annotated(spark, sfDir)))
 
