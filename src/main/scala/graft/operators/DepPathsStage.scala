@@ -26,7 +26,9 @@ object DepPathsStage {
     if (type1 == type2 && type1 != "OTHER") (type1 + "(1)", type2 + "(2)")
     else (type1, type2)
 
-  def instances(docs: Dataset[AnnotatedDoc]): Dataset[PathInstance] = {
+  def instances(docs: Dataset[AnnotatedDoc],
+                metrics: Option[graft.sources.StageMetrics] = None)
+      : Dataset[PathInstance] = {
     import docs.sparkSession.implicits._
     docs.flatMap { doc =>
       doc.sentences.iterator.zipWithIndex
@@ -60,7 +62,9 @@ object DepPathsStage {
             }
             blocked(m1.head) = true; blocked(m2.head) = true
           }
-          out.result()
+          val res = out.result()
+          metrics.foreach(_.pathInstances.add(res.length))
+          res
         }
     }
   }

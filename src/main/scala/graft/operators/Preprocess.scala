@@ -15,7 +15,9 @@ import org.apache.spark.sql.Dataset
   */
 object Preprocess {
 
-  def annotate(docs: Dataset[IceDoc]): Dataset[AnnotatedDoc] = {
+  def annotate(docs: Dataset[IceDoc],
+               metrics: Option[graft.sources.StageMetrics] = None)
+      : Dataset[AnnotatedDoc] = {
     import docs.sparkSession.implicits._
     docs.mapPartitions { it =>
       it.map { doc =>
@@ -30,7 +32,13 @@ object Preprocess {
         // X2 coref: document-level pronoun resolution over the
         // sentence-local analyses (term extraction stays surface-level —
         // it ran per sentence before this pass)
-        AnnotatedDoc(doc.doc_id, doc.spans, Nlp.resolvePronouns(sentences))
+        val resolved = Nlp.resolvePronouns(sentences)
+        metrics.foreach { m =>
+          m.docsIn.add(1)
+          m.sentences.add(resolved.length)
+          resolved.foreach(s => m.mentions.add(s.names.length))
+        }
+        AnnotatedDoc(doc.doc_id, doc.spans, resolved)
       }
     }
   }

@@ -130,15 +130,19 @@ object TaggerStage {
     * (PathMatcher.java:16-110). A narrow map stage — no shuffle. */
   def triples(candidates: Dataset[PathInstance],
               rules: Seq[RelationRule],
-              wordSim: (String, String) => Double = exactSim): Dataset[Triple] = {
+              wordSim: (String, String) => Double = exactSim,
+              metrics: Option[graft.sources.StageMetrics] = None)
+      : Dataset[Triple] = {
     val spark = candidates.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(ruleState(rules))
     candidates.flatMap { c =>
-      decode(c, bc.value, wordSim).map { case (rel, invert) =>
+      val t = decode(c, bc.value, wordSim).map { case (rel, invert) =>
         if (invert) Triple(c.doc_id, c.arg2, rel, c.arg1)
         else Triple(c.doc_id, c.arg1, rel, c.arg2)
       }
+      metrics.foreach(m => if (t.isDefined) m.triples.add(1))
+      t
     }
   }
 

@@ -334,13 +334,18 @@ object KgPipeline {
     * stage whose snapshot is committed and recomputes only the rest. */
   def runAll(spark: SparkSession, sfDir: String, root: String): TableIO = {
     val io = new TableIO(spark, root)
-    val ann = io.getOrCompute("annotations") {
-      annotated(spark, sfDir).toDF()
+    // north rule: stage metric accumulators — ticked on the executors
+    // inside each stage's mapPartitions, captured into every commit's
+    // manifest (by-name, read after the write action)
+    val metrics = new graft.sources.StageMetrics(spark)
+    val ann = io.getOrCompute("annotations", metrics = metrics.snapshot) {
+      Preprocess.annotate(corpus(spark, sfDir), Some(metrics)).toDF()
     }
     import spark.implicits._
     val annDs = ann.as[AnnotatedDoc]
-    val inst = io.getOrCompute("path_instances", inputs = Seq("annotations")) {
-      DepPathsStage.instances(annDs).toDF()
+    val inst = io.getOrCompute("path_instances", inputs = Seq("annotations"),
+      metrics = metrics.snapshot) {
+      DepPathsStage.instances(annDs, Some(metrics)).toDF()
     }
     val instDs = inst.as[PathInstance]
     io.getOrCompute("paths", inputs = Seq("path_instances")) {
@@ -369,8 +374,8 @@ object KgPipeline {
     // partition pruning for downstream graph queries; predicate skew in
     // file sizes is acceptable because files split on read
     val tri = io.getOrCompute("triples", inputs = Seq("path_instances", "rules"),
-      partitionBy = Seq("pred")) {
-      TaggerStage.triples(instDs, ruleSeq).toDF()
+      partitionBy = Seq("pred"), metrics = metrics.snapshot) {
+      TaggerStage.triples(instDs, ruleSeq, metrics = Some(metrics)).toDF()
     }
     io.getOrCompute("canonical_triples", inputs = Seq("triples")) {
       Canonicalize.canonicalTriples(tri.as[Triple], graft.nlp.Nlp.gpeCanonical).toDF()

@@ -36,8 +36,12 @@ final class TableIO(spark: SparkSession, root: String) {
     * is renamed into place atomically as the commit point. Lineage rows
     * (one per output file ≈ per task partition) go to
     * `<table>/_lineage`. */
+  /** `metrics` is by-name: it must be read only after the data write
+    * below, so stage accumulator ticks from the executors are already
+    * aggregated when the manifest captures them. */
   def commit(name: String, df: DataFrame, inputs: Seq[String] = Nil,
-             partitionBy: Seq[String] = Nil): Unit = {
+             partitionBy: Seq[String] = Nil,
+             metrics: => Map[String, Long] = Map.empty): Unit = {
     val t0 = System.nanoTime()
     val dir = tableDir(name)
     val dataDir = s"$dir/data"
@@ -61,9 +65,11 @@ final class TableIO(spark: SparkSession, root: String) {
       .write.mode("overwrite").parquet(s"$dir/_lineage")
     val snapshotId = java.util.UUID.randomUUID().toString
     val inputSnaps = inputs.map(i => s""""$i": ${snapshotOf(i)}""").mkString(",")
+    val metricJson =
+      metrics.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val json =
       s"""{"table":"$name","snapshot":"$snapshotId","rows":$rows,
-         |"wall_ms":$wallMs,"inputs":{$inputSnaps}}""".stripMargin
+         |"wall_ms":$wallMs,"metrics":{$metricJson},"inputs":{$inputSnaps}}""".stripMargin
     val tmp = Paths.get(dir, s"_manifest.json.tmp")
     Files.writeString(tmp, json)
     Files.move(tmp, manifestPath(name), StandardCopyOption.ATOMIC_MOVE)
@@ -80,8 +86,12 @@ final class TableIO(spark: SparkSession, root: String) {
     * return the committed table. This is the resume point: stages whose
     * snapshot is already committed are skipped entirely. */
   def getOrCompute(name: String, inputs: Seq[String] = Nil,
-                   partitionBy: Seq[String] = Nil)(compute: => DataFrame): DataFrame = {
-    if (!isCommitted(name)) commit(name, compute, inputs, partitionBy)
+                   partitionBy: Seq[String] = Nil,
+                   metrics: => Map[String, Long] = Map.empty)
+                  (compute: => DataFrame): DataFrame = {
+    // `metrics` is by-name: accumulator values are read AFTER the
+    // compute's write action has run, so executor ticks are aggregated
+    if (!isCommitted(name)) commit(name, compute, inputs, partitionBy, metrics)
     read(name)
   }
 

@@ -25,6 +25,17 @@ class ResumeSpec extends SparkSpec {
         .findFirstMatchIn(io.manifest(s)).get.group(1).toLong
       assert(rowsOut === manifestRows, s"lineage rows mismatch for $s")
     }
+    // north rule: stage metric accumulators captured in the manifests.
+    // After the annotations commit, docs/sentences/mentions are in; the
+    // triples commit sees the tagger's accumulator too.
+    def metric(stage: String, key: String): Long =
+      ("\"" + key + "\":(\\d+)").r.findFirstMatchIn(io.manifest(stage))
+        .get.group(1).toLong
+    assert(metric("annotations", "docs_in") === 500L)
+    assert(metric("annotations", "sentences") > 500L)
+    assert(metric("annotations", "mentions") > 1000L)
+    assert(metric("triples", "path_instances") > 900L)
+    assert(metric("triples", "triples") > 900L)
   }
 
   test("kill-and-resume: only the uncommitted stage recomputes") {
