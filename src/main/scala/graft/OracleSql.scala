@@ -42,12 +42,16 @@ object OracleSql {
        |)""".stripMargin
 
   private val gendersL = sqlList(Gen.personGenders)
+  private val lastsL = sqlList(Gen.personLasts)
 
   /** Extra-sentence derivations (Gen.extraSentence): tour (k7=1),
-    * pronoun-coref (k7=2), money (k7=3), marriage (k7=5). Appended
-    * after [[baseCte]]. `api` is the coref antecedent person index —
-    * the most recent sentence whose person matches the s=0 gender
-    * (Gen.pronAntecedentIdx recomputed independently). */
+    * pronoun-coref (k7=2), money (k7=3), partial-name (k7=4), marriage
+    * (k7=5). Appended after [[baseCte]]. `api` is the pronoun-coref
+    * antecedent person index — the most recent sentence whose person
+    * matches the s=0 gender; `napi` the partial-name antecedent — the
+    * most recent sentence whose person carries the s=0 last name
+    * (Gen.pronAntecedentIdx / Gen.nameAntecedentIdx recomputed
+    * independently). */
   val xtraCte: String =
     s""",
        |x AS (
@@ -62,7 +66,7 @@ object OracleSql {
        |         d.doc_id % 9 + 1 AS amt,
        |         CAST((d.doc_id*31) % 40 AS INT) AS w1,
        |         CAST((d.doc_id*37 + 11) % 40 AS INT) AS w2r
-       |  FROM documents d WHERE d.doc_id % 7 IN (1, 2, 3, 5)
+       |  FROM documents d WHERE d.doc_id % 7 IN (1, 2, 3, 4, 5)
        |),
        |xx AS (SELECT *,
        |       CASE WHEN w2r % 20 = w1 % 20 THEN (w2r+1) % 40 ELSE w2r END AS w2,
@@ -70,7 +74,12 @@ object OracleSql {
        |              THEN s2pi
        |            WHEN lasts >= 1 AND ($gendersL)[s1pi+1] = ($gendersL)[tpi+1]
        |              THEN s1pi
-       |            ELSE tpi END AS api
+       |            ELSE tpi END AS api,
+       |       CASE WHEN lasts >= 2 AND ($lastsL)[s2pi+1] = ($lastsL)[tpi+1]
+       |              THEN s2pi
+       |            WHEN lasts >= 1 AND ($lastsL)[s1pi+1] = ($lastsL)[tpi+1]
+       |              THEN s1pi
+       |            ELSE tpi END AS napi
        |       FROM x)""".stripMargin
 
   // surface-form snippets for the extra sentences
@@ -95,6 +104,11 @@ object OracleSql {
   private val pronWord =
     s"CASE WHEN ($gendersL)[tpi+1] = 'M' THEN 'He' ELSE 'She' END"
   private val pronText = s"$pronWord || ' toured ' || $tourGpe || '.'"
+  // partial-name sentence (k7=4): the bare s=0 last name; the RESOLVED
+  // argument is the most recent person with that last name (napi)
+  private val namePerson = s"($personsL)[napi+1]"
+  private val nameWord = s"($lastsL)[tpi+1]"
+  private val nameText = s"$nameWord || ' toured ' || $tourGpe || '.'"
 
   /** Tour sentences soft-match the `visited` rule (one word substitution,
     * 0.8/3 < 0.5 threshold) — the nearest rule deterministically. */
@@ -110,7 +124,10 @@ object OracleSql {
        |FROM xx WHERE k7 = 1
        |UNION ALL
        |SELECT CAST(id AS VARCHAR), $pronPerson, 'visited', $tourGpe
-       |FROM xx WHERE k7 = 2""".stripMargin
+       |FROM xx WHERE k7 = 2
+       |UNION ALL
+       |SELECT CAST(id AS VARCHAR), $namePerson, 'visited', $tourGpe
+       |FROM xx WHERE k7 = 4""".stripMargin
 
   val kgCanonicalTriples: String =
     s"""$baseCte$xtraCte
@@ -128,13 +145,17 @@ object OracleSql {
        |UNION ALL
        |SELECT CAST(id AS VARCHAR), $pronPerson, 'visited', $tourGpe,
        |       $pronPerson, $tourGpeCanon
-       |FROM xx WHERE k7 = 2""".stripMargin
+       |FROM xx WHERE k7 = 2
+       |UNION ALL
+       |SELECT CAST(id AS VARCHAR), $namePerson, 'visited', $tourGpe,
+       |       $namePerson, $tourGpeCanon
+       |FROM xx WHERE k7 = 4""".stripMargin
 
   val kgPathTypes: String =
     s"""$baseCte$xtraCte
        |SELECT type1, path, type2, count(*) AS cnt FROM (
        |  SELECT 'PERSON' AS type1, ($pathsL)[ri] AS path, 'GPE' AS type2 FROM bb
-       |  UNION ALL SELECT 'PERSON', 'nsubj-1:tour:dobj', 'GPE' FROM xx WHERE k7 IN (1, 2)
+       |  UNION ALL SELECT 'PERSON', 'nsubj-1:tour:dobj', 'GPE' FROM xx WHERE k7 IN (1, 2, 4)
        |  UNION ALL SELECT 'PERSON', 'nsubj-1:pay:dobj', 'MONEY' FROM xx WHERE k7 = 3
        |  UNION ALL SELECT 'PERSON(1)', 'nsubj-1:marry:dobj', 'PERSON(2)' FROM xx WHERE k7 = 5
        |) GROUP BY 1, 2, 3""".stripMargin
@@ -153,6 +174,8 @@ object OracleSql {
        |  FROM xx WHERE k7 = 1
        |  UNION ALL SELECT $pronPerson, 'nsubj-1:tour:dobj', $tourGpe, $pronText
        |  FROM xx WHERE k7 = 2
+       |  UNION ALL SELECT $namePerson, 'nsubj-1:tour:dobj', $tourGpe, $nameText
+       |  FROM xx WHERE k7 = 4
        |  UNION ALL SELECT $moneyPerson, 'nsubj-1:pay:dobj', $moneyObj, $moneyText
        |  FROM xx WHERE k7 = 3
        |  UNION ALL SELECT $sp1, 'nsubj-1:marry:dobj', $sp2, $marryText
@@ -177,7 +200,7 @@ object OracleSql {
     s"""$baseCte$xtraCte,
        |allp AS (
        |  SELECT ($pathsL)[ri] AS path FROM bb
-       |  UNION ALL SELECT 'nsubj-1:tour:dobj' FROM xx WHERE k7 IN (1, 2)
+       |  UNION ALL SELECT 'nsubj-1:tour:dobj' FROM xx WHERE k7 IN (1, 2, 4)
        |  UNION ALL SELECT 'nsubj-1:pay:dobj' FROM xx WHERE k7 = 3
        |  UNION ALL SELECT 'nsubj-1:marry:dobj' FROM xx WHERE k7 = 5
        |),
@@ -208,9 +231,12 @@ object OracleSql {
        |              lower(CASE WHEN al THEN ($aliasesL)[gi+1]
        |                         ELSE ($gpesL)[gi+1] END) AS pair
        |       FROM bb WHERE ri = 2),
-       |tp AS (SELECT DISTINCT ${lastOf(tourPerson)} || ':::' ||
-       |              lower($tourGpe) AS pair
-       |       FROM xx WHERE k7 = 1),
+       |tp AS (SELECT DISTINCT pair FROM (
+       |         SELECT ${lastOf(tourPerson)} || ':::' || lower($tourGpe) AS pair
+       |         FROM xx WHERE k7 = 1
+       |         UNION ALL
+       |         SELECT lower($nameWord) || ':::' || lower($tourGpe)
+       |         FROM xx WHERE k7 = 4)),
        |sh AS (SELECT count(*) AS shared FROM tp JOIN vp ON tp.pair = vp.pair),
        |tot AS (SELECT count(*) AS total FROM tp)
        |SELECT 'tour nsubj:PERSON dobj:GPE' AS key, 'tour' AS "trigger",
@@ -254,7 +280,8 @@ object OracleSql {
        |SELECT CAST(id AS VARCHAR), $filler + (id % 3 + 1) + $totalMedia,
        |       'text',
        |       CASE k7 WHEN 1 THEN $tourText WHEN 2 THEN $pronText
-       |               WHEN 3 THEN $moneyText ELSE $marryText END, ''
+       |               WHEN 3 THEN $moneyText WHEN 4 THEN $nameText
+       |               ELSE $marryText END, ''
        |FROM xx""".stripMargin
   }
 
@@ -411,7 +438,7 @@ object OracleSql {
     s"""$baseCte$xtraCte,
        |allp AS (
        |  SELECT id, 'PERSON' AS type1, ($pathsL)[ri] AS path, 'GPE' AS type2 FROM bb
-       |  UNION ALL SELECT id, 'PERSON', 'nsubj-1:tour:dobj', 'GPE' FROM xx WHERE k7 IN (1, 2)
+       |  UNION ALL SELECT id, 'PERSON', 'nsubj-1:tour:dobj', 'GPE' FROM xx WHERE k7 IN (1, 2, 4)
        |  UNION ALL SELECT id, 'PERSON', 'nsubj-1:pay:dobj', 'MONEY' FROM xx WHERE k7 = 3
        |  UNION ALL SELECT id, 'PERSON(1)', 'nsubj-1:marry:dobj', 'PERSON(2)' FROM xx WHERE k7 = 5
        |),
@@ -436,6 +463,8 @@ object OracleSql {
        |  FROM xx WHERE k7 = 1
        |  UNION ALL SELECT $pronPerson || ':::' || $tourGpe, 'nsubj-1:tour:dobj'
        |  FROM xx WHERE k7 = 2
+       |  UNION ALL SELECT $namePerson || ':::' || $tourGpe, 'nsubj-1:tour:dobj'
+       |  FROM xx WHERE k7 = 4
        |  UNION ALL SELECT $moneyPerson || ':::' || $moneyObj, 'nsubj-1:pay:dobj'
        |  FROM xx WHERE k7 = 3
        |  UNION ALL SELECT $sp1 || ':::' || $sp2, 'nsubj-1:marry:dobj'
@@ -483,7 +512,7 @@ object OracleSql {
        |  FROM documents d WHERE d.doc_id % 2 = 0
        |  UNION ALL
        |  SELECT 'visit nsubj:PERSON dobj:GPE' FROM bb WHERE ri = 2
-       |  UNION ALL SELECT 'tour nsubj:PERSON dobj:GPE' FROM xx WHERE k7 = 1
+       |  UNION ALL SELECT 'tour nsubj:PERSON dobj:GPE' FROM xx WHERE k7 IN (1, 4)
        |  UNION ALL SELECT 'pay nsubj:PERSON dobj:MONEY' FROM xx WHERE k7 = 3
        |  UNION ALL SELECT 'marry nsubj:PERSON dobj:PERSON' FROM xx WHERE k7 = 5
        |) GROUP BY 1""".stripMargin
@@ -505,6 +534,8 @@ object OracleSql {
        |  FROM bb WHERE ri = 2
        |  UNION ALL SELECT 'tour nsubj:' || ${lastOf(tourPerson)} ||
        |            ' dobj:' || lower($tourGpe) FROM xx WHERE k7 = 1
+       |  UNION ALL SELECT 'tour nsubj:' || lower($nameWord) ||
+       |            ' dobj:' || lower($tourGpe) FROM xx WHERE k7 = 4
        |  UNION ALL SELECT 'pay nsubj:' || ${lastOf(moneyPerson)} ||
        |            ' dobj:million' FROM xx WHERE k7 = 3
        |  UNION ALL SELECT 'marry nsubj:' || ${lastOf(sp1)} ||
@@ -535,6 +566,8 @@ object OracleSql {
        |  FROM bb WHERE ri = 2
        |  UNION ALL SELECT 'tour nsubj:PERSON dobj:GPE', 'person tour gpe',
        |            $tourText FROM xx WHERE k7 = 1
+       |  UNION ALL SELECT 'tour nsubj:PERSON dobj:GPE', 'person tour gpe',
+       |            $nameText FROM xx WHERE k7 = 4
        |  UNION ALL SELECT 'pay nsubj:PERSON dobj:MONEY', 'person pay money',
        |            $moneyText FROM xx WHERE k7 = 3
        |  UNION ALL SELECT 'marry nsubj:PERSON dobj:PERSON', 'person marry person',
@@ -559,6 +592,8 @@ object OracleSql {
        |FROM bb WHERE ri = 2
        |UNION ALL SELECT CAST(id AS VARCHAR), ${lastOf(tourPerson)}, 'tour',
        |          lower($tourGpe) FROM xx WHERE k7 = 1
+       |UNION ALL SELECT CAST(id AS VARCHAR), lower($nameWord), 'tour',
+       |          lower($tourGpe) FROM xx WHERE k7 = 4
        |UNION ALL SELECT CAST(id AS VARCHAR), ${lastOf(moneyPerson)}, 'pay',
        |          'million' FROM xx WHERE k7 = 3
        |UNION ALL SELECT CAST(id AS VARCHAR), ${lastOf(sp1)}, 'marry',
@@ -584,7 +619,10 @@ object OracleSql {
        |FROM xx WHERE k7 = 1
        |UNION ALL
        |SELECT CAST(id AS VARCHAR), $pronPerson, 'visited', $tourGpe
-       |FROM xx WHERE k7 = 2""".stripMargin
+       |FROM xx WHERE k7 = 2
+       |UNION ALL
+       |SELECT CAST(id AS VARCHAR), $namePerson, 'visited', $tourGpe
+       |FROM xx WHERE k7 = 4""".stripMargin
 
   /** X2 coref slice: the pronoun sentences' triples alone — subject is
     * always the resolved antecedent. */
@@ -640,7 +678,8 @@ object OracleSql {
        |  UNION ALL SELECT id, CASE WHEN al THEN ($aliasesL)[gi+1]
        |                            ELSE ($gpesL)[gi+1] END || '/nnp' FROM bb
        |  UNION ALL SELECT id, $tourPerson || '/nnp' FROM xx WHERE k7 = 1
-       |  UNION ALL SELECT id, $tourGpe || '/nnp' FROM xx WHERE k7 IN (1, 2)
+       |  UNION ALL SELECT id, $tourGpe || '/nnp' FROM xx WHERE k7 IN (1, 2, 4)
+       |  UNION ALL SELECT id, $nameWord || '/nnp' FROM xx WHERE k7 = 4
        |  UNION ALL SELECT id, $moneyPerson || '/nnp' FROM xx WHERE k7 = 3
        |  UNION ALL SELECT id, $sp1 || '/nnp' FROM xx WHERE k7 = 5
        |  UNION ALL SELECT id, $sp2 || '/nnp' FROM xx WHERE k7 = 5
@@ -663,7 +702,10 @@ object OracleSql {
        |FROM xx WHERE k7 = 1
        |UNION ALL
        |SELECT CAST(id AS VARCHAR), $pronPerson, 'visited', $tourGpe
-       |FROM xx WHERE k7 = 2""".stripMargin
+       |FROM xx WHERE k7 = 2
+       |UNION ALL
+       |SELECT CAST(id AS VARCHAR), $namePerson, 'visited', $tourGpe
+       |FROM xx WHERE k7 = 4""".stripMargin
 
   /** Term doc/total frequencies (A3) over the combined term+name set. */
   val kgTermCounts: String =

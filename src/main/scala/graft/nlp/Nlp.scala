@@ -172,6 +172,12 @@ object Nlp {
       } else if (t.pos == "NNP" && gpeCanonical.contains(t.word)) {
         out += Name(i, i + 1, i, "GPE", t.word, gpeCanonical(t.word))
         i += 1
+      } else if (t.pos == "NNP" && lastNames(t.word)) {
+        // partial (bare last-name) person mention; the document-level
+        // entity merge (resolvePartialNames) rewrites it to the full
+        // entity name when a preceding mention carries this last name
+        out += Name(i, i + 1, i, "PERSON", t.word, t.word)
+        i += 1
       } else i += 1
     }
     out.result()
@@ -480,6 +486,35 @@ object Nlp {
               else s.copy(names = (s.names ++ pron).sortBy(_.tokStart)))
       // document order within the sentence reversed → most recent first
       seen = s.names.filter(_.etype == "PERSON").reverse.toList ::: seen
+    }
+    out.result()
+  }
+
+  /** X2 ACE entity merge, partial-name flavor: a bare last-name PERSON
+    * mention ("Smith") resolves to the most recent PERSON mention in a
+    * PRECEDING sentence whose surface ends with that last name — the
+    * reference's Ace.buildAceEntities name-coreference fold. The span
+    * stays on the partial token; surface/canonical become the entity's
+    * full name. Unresolvable partials keep their own surface (a fresh
+    * single-mention entity, as ACE would mint). */
+  def resolvePartialNames(sentences: Vector[Sentence]): Vector[Sentence] = {
+    def isPartial(n: Name): Boolean =
+      n.etype == "PERSON" && n.tokEnd - n.tokStart == 1 &&
+        lastNames(n.surface)
+    if (!sentences.exists(_.names.exists(isPartial))) return sentences
+    val out = Vector.newBuilder[Sentence]
+    var seen: List[Name] = Nil
+    for (s <- sentences) {
+      val resolved = s.names.map { n =>
+        if (isPartial(n))
+          seen.find(m => m.surface.endsWith(" " + n.surface))
+            .map(a => n.copy(surface = a.surface, canonical = a.canonical))
+            .getOrElse(n)
+        else n
+      }
+      out += (if (resolved == s.names) s else s.copy(names = resolved))
+      seen = s.names.filter(m => m.etype == "PERSON" && !isPartial(m))
+        .reverse.toList ::: seen
     }
     out.result()
   }

@@ -29,10 +29,12 @@ object Preprocess {
             }
           }
           .toVector
-        // X2 coref: document-level pronoun resolution over the
-        // sentence-local analyses (term extraction stays surface-level —
-        // it ran per sentence before this pass)
-        val resolved = Nlp.resolvePronouns(sentences)
+        // X2 coref / entity merge: document-level partial-name and
+        // pronoun resolution over the sentence-local analyses (term
+        // extraction stays surface-level — it ran per sentence before
+        // this pass)
+        val resolved =
+          Nlp.resolvePronouns(Nlp.resolvePartialNames(sentences))
         metrics.foreach { m =>
           m.docsIn.add(1)
           m.sentences.add(resolved.length)

@@ -116,11 +116,15 @@ object Gen {
   //   gender-compatible antecedent
   // id % 7 == 3: "P paid $K million." — value mentions (F12): the MONEY
   //   arg reaches path mining and the tagger
+  // id % 7 == 4: "Smith toured G."    — a partial-name subject (X2 ACE
+  //   entity merge): the bare last name resolves to the most recent
+  //   preceding person with that last name (s=0 by construction, so
+  //   resolution must skip later persons with OTHER last names)
   // id % 7 == 5: "P1 married P2."     — a symmetric PERSON-PERSON
   //   predicate (exercises (1)/(2) subscripts + swap12 seed resolution)
 
   def extraKind(id: Long): Int = (id % 7) match {
-    case 1 => 1; case 3 => 2; case 5 => 3; case 2 => 4; case _ => 0
+    case 1 => 1; case 3 => 2; case 5 => 3; case 2 => 4; case 4 => 5; case _ => 0
   }
 
   def tourSentence(id: Long): String = {
@@ -168,11 +172,34 @@ object Gen {
     s"${pronoun(id)} toured $g."
   }
 
+  /** Last name per person index (parallel to [[persons]]). */
+  val personLasts: IndexedSeq[String] = persons.map(_.split(' ')(1))
+
+  /** The bare last name of the s=0 person — when later sentences name
+    * persons with OTHER last names, the resolver must skip them. */
+  def partialName(id: Long): String = personLasts(personIdx(id, 0))
+
+  /** The entity-merge antecedent: the most recent sentence whose
+    * person carries the partial's last name; s=0 always matches. */
+  def nameAntecedentIdx(id: Long): Int = {
+    val l = partialName(id)
+    (nSentences(id) - 1 to 0 by -1)
+      .map(s => personIdx(id, s))
+      .find(pi => personLasts(pi) == l)
+      .get
+  }
+
+  def nameSentence(id: Long): String = {
+    val g = if (usesAlias(id, 0)) gpeAliases(gpeIdx(id, 0)) else gpes(gpeIdx(id, 0))
+    s"${partialName(id)} toured $g."
+  }
+
   def extraSentence(id: Long): Option[String] = extraKind(id) match {
     case 1 => Some(tourSentence(id))
     case 2 => Some(moneySentence(id))
     case 3 => Some(marrySentence(id))
     case 4 => Some(pronSentence(id))
+    case 5 => Some(nameSentence(id))
     case _ => None
   }
 

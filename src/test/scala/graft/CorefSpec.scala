@@ -82,6 +82,45 @@ class CorefSpec extends AnyFunSuite {
     assert(skipped.nonEmpty, "no doc exercised the gender-skip branch")
   }
 
+  test("partial name resolves to the most recent person with that last name") {
+    val doc = Nlp.resolvePartialNames(Vector(
+      "Fred Smith visited Chicago.",
+      "Mary Jones visited Boston.",
+      "Smith toured Denver.").map(t => Nlp.analyze(t, 0)))
+    val part = doc(2).names.find(_.tokStart == 0).get
+    assert(part.surface == "Fred Smith" && part.etype == "PERSON")
+  }
+
+  test("unresolvable partial name keeps its own surface (fresh entity)") {
+    val doc = Nlp.resolvePartialNames(Vector(
+      "Mary Jones visited Boston.",
+      "Smith toured Denver.").map(t => Nlp.analyze(t, 0)))
+    val part = doc(1).names.find(_.tokStart == 0).get
+    assert(part.surface == "Smith")
+  }
+
+  test("generator/resolver agreement on the partial-name antecedent") {
+    import SparkSpec.session
+    import session.implicits._
+    val ids = (0L until 700L).filter(_ % 7 == 4)
+    val docs = session.createDataset(ids.map(Gen.doc))
+    val inst = DepPathsStage.instances(Preprocess.annotate(docs))
+    val nameArgs = inst
+      .filter(i => i.path == "nsubj-1:tour:dobj" &&
+        !i.example.contains(" visited ") && !i.example.contains(" lives "))
+      .collect()
+      .filter(i => Gen.personLasts.contains(i.example.takeWhile(_ != ' ')))
+      .map(i => i.doc_id.toLong -> i.arg1).toMap
+    assert(nameArgs.size == ids.size)
+    ids.foreach { id =>
+      assert(nameArgs(id) == Gen.persons(Gen.nameAntecedentIdx(id)), s"doc $id")
+    }
+    // the skip branch (later sentence with a DIFFERENT last name) fires
+    val skipped = ids.filter(id =>
+      Gen.nameAntecedentIdx(id) != Gen.personIdx(id, (id % 3).toInt))
+    assert(skipped.nonEmpty)
+  }
+
   test("pronoun sentences produce no event trees (reference pronoun-abort)") {
     import SparkSpec.session
     import session.implicits._

@@ -50,8 +50,8 @@ class ResumeSpec extends SparkSpec {
     KgPipeline.runAll(spark, "/root/testdata/sf0.001", root)
     assert(snap("annotations") === annBefore, "committed stage was recomputed")
     assert(snap("triples") !== triBefore, "uncommitted stage was not recomputed")
-    // 999 base triples + 72 tour + 72 coref-resolved pronoun sentences,
-    // both soft-matched to `visited`
-    assert(io.read("triples").count() === 1143L)
+    // 999 base triples + 72 tour + 72 pronoun-coref + 71 partial-name
+    // sentences, all soft-matched to `visited`
+    assert(io.read("triples").count() === 1214L)
   }
 }
