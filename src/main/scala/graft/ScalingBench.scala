@@ -62,6 +62,26 @@ object ScalingBench {
       r
     }
 
+    // SPARK_GRAFT_EXTRACT_ONLY=1: skip the pipeline (and all parquet
+    // writes) and time ONLY the fused extraction — the clean CPU-scaling
+    // signal on a box whose single disk adds up to 2x run-to-run noise
+    // to any write-bearing phase. Rules resolve untimed from a corpus
+    // slice first (they are a tiny broadcast either way).
+    val extractOnly = sys.env.get("SPARK_GRAFT_EXTRACT_ONLY").contains("1")
+    if (extractOnly) {
+      val rules = TaggerStage.rulesFromSeeds(spark,
+        DepPathsStage.pathReprTable(DepPathsStage.instances(Preprocess.annotate(
+          spark.range(0, 200000, 1, cpus * 4).as[Long].map(Gen.doc _)))),
+        KgPipeline.seedPhrases)
+      val e0 = System.nanoTime()
+      val nExtract = TaggerStage.triples(
+        DepPathsStage.instances(Preprocess.annotate(corpus)), rules).count()
+      val extractSec = (System.nanoTime() - e0) / 1e9
+      println(f"""{"metric":"triples_per_sec","value":${nExtract / extractSec}%.1f,"unit":"rows/sec","cpus":$cpus,"docs":$nDocs,"triples":$nExtract,"extract_sec":$extractSec%.2f,"mode":"extract_only"}""")
+      spark.stop()
+      return
+    }
+
     val t0 = System.nanoTime()
     // the production pipeline shape (KgPipeline.runAll): each stage
     // writes a parquet table checkpoint and the next stage reads it —
