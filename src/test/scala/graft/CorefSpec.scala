@@ -121,6 +121,19 @@ class CorefSpec extends AnyFunSuite {
     assert(skipped.nonEmpty)
   }
 
+  test("pronoun resolves through an already-resolved partial name") {
+    // partial-name resolution runs first, so the pronoun's antecedent
+    // pool sees the partial's ENTITY surface (with its gendered first
+    // name), not the bare last name
+    val doc = Nlp.resolvePronouns(Nlp.resolvePartialNames(Vector(
+      "Fred Smith visited Chicago.",
+      "Smith toured Denver.",
+      "He visited Boston.").map(t => Nlp.analyze(t, 0))))
+    assert(doc(1).names.find(_.tokStart == 0).get.surface == "Fred Smith")
+    assert(doc(2).names.find(_.tokStart == 0)
+      .exists(n => n.surface == "Fred Smith" && n.etype == "PERSON"))
+  }
+
   test("pronoun sentences produce no event trees (reference pronoun-abort)") {
     import SparkSpec.session
     import session.implicits._
