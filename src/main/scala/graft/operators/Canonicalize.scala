@@ -37,18 +37,31 @@ object Canonicalize {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      // propagate: node's new comp = min over neighbors' comps and own.
+      // propagate: node's new comp = min over (own comp, neighbors'
+      // comps, comp's comp). The comp-of-comp leg is pointer doubling —
+      // a chain of length d converges in O(log d) rounds instead of
+      // O(d), which is what makes the O(log diameter) bound real (the
+      // neighbor leg alone advances one hop per round). Every comp
+      // value is itself a node id, so the self-join always resolves.
       // The convergence flag rides along in the same pass (one
-      // checkpoint job + one tiny agg per iteration, no extra join).
+      // checkpoint job + one tiny agg per iteration).
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("comp")).as("new_comp"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
+      val viaComp = labels
+        .join(labels.select(col("id").as("comp"), col("comp").as("cc")),
+          Seq("comp"))
+        .select(col("id"), col("cc"))
+      val next = labels
+        .join(viaNeighbors, Seq("id"), "left")
+        .join(viaComp, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("new_comp"), col("comp"))).as("comp"),
-          (coalesce(col("new_comp"), col("comp")) < col("comp"))
-            .cast("long").as("chg"))
+          least(col("comp"), coalesce(col("new_comp"), col("comp")),
+            coalesce(col("cc"), col("comp"))).as("new_c"),
+          col("comp").as("old_c"))
+        .select(col("id"), col("new_c").as("comp"),
+          (col("new_c") < col("old_c")).cast("long").as("chg"))
         .localCheckpoint()
       changed = next.agg(coalesce(sum(col("chg")), lit(0L))).first().getLong(0)
       labels = next.drop("chg")

@@ -26,6 +26,16 @@ class CcPropertySpec extends SparkSpec {
       .flatMap(members => members.map(_ -> members.min)).toMap
   }
 
+  test("pointer doubling: a 20-node chain converges within 7 rounds") {
+    // plain one-hop min-propagation would need ~19 rounds; the
+    // comp-of-comp leg makes convergence logarithmic in the diameter
+    val edges = (0 until 19).map(i => (f"n$i%02d", f"n${i + 1}%02d"))
+    val got = Canonicalize.connectedComponents(edges.toDF("src", "dst"),
+        maxIter = 7)
+      .as[(String, String)].collect().toMap
+    assert(got.size == 20 && got.values.forall(_ == "n00"), got.toString)
+  }
+
   test("CC labels == union-find minima on 15 random graphs") {
     val g = Gen.listOfN(12,
       Gen.zip(Gen.choose(0, 9), Gen.choose(0, 9))
