@@ -25,6 +25,16 @@ object Dedup {
 
   private def words(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Distinct word n-gram shingle SET of one document — the scalar
+    * twin of [[shingles]] (same split / same <n-words → empty
+    * semantics), used where the gram set can stay inside a narrow
+    * map-side pass instead of being exploded and shuffled. */
+  def gramSet(text: String, n: Int = 3): Seq[String] = {
+    val ws = text.trim.split("\\s+")
+    if (ws.length < n) Seq.empty
+    else (0 to ws.length - n).map(i => ws.slice(i, i + n).mkString(" ")).distinct
+  }
+
   /** Distinct word n-gram shingles per doc: (doc_id, gram). */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val w = docs.select(col("doc_id"), words(col("text")).as("ws"))
@@ -98,32 +108,43 @@ object Dedup {
     * the LSH recall holds (see DatapipeSpec) the results are equal. */
   def minhashLsh(docs: DataFrame, n: Int = 3,
                  threshold: Double = 0.8): DataFrame = {
-    // persist both shared subtrees (no ReuseExchange across consumers):
-    // the shingle set feeds the signatures, the size marginals and both
-    // verify-join sides; the banded signatures feed both candidate-join
-    // sides (the signature UDF is the operator's dominant CPU cost —
-    // computing it twice would double the whole stage)
-    val s = shingles(docs, n).persist()
+    // The per-doc gram SET is computed map-side ([[gramSet]]) — the
+    // full corpus shingle table is never exploded or shuffled (the old
+    // shape paid a distinct-shuffle plus a collect_list shuffle over
+    // every gram in the corpus before a single signature existed; at
+    // 100 TB those two full-corpus shuffles dominate the operator).
+    // Persisted: feeds the signatures, the size marginals and the
+    // candidate-restricted verify explosion. Released by the caller's
+    // clearCache, like every per-query cache here.
+    val gramsUdf = udf((t: String) => gramSet(t, n))
+    val docsG = docs.select(col("doc_id"), gramsUdf(col("text")).as("grams"))
+      .filter(size(col("grams")) > 0).persist()
     val rows = NumHashes / Bands
     val sigUdf = udf((grams: Seq[String]) => signature(grams))
-    val sigs = s.groupBy(col("doc_id"))
-      .agg(collect_list(col("gram")).as("grams"))
-      .select(col("doc_id"), sigUdf(col("grams")).as("sig"))
+    val sigs = docsG.select(col("doc_id"), sigUdf(col("grams")).as("sig"))
     // band key = (band index, hash of the band's rows)
     val banded = sigs.select(col("doc_id"), posexplode(
       transform(sequence(lit(0), lit(Bands - 1)),
         b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b)))
       .as(Seq("band", "bkey"))).persist()
+    // persisted: consumed twice (the candidate-doc id list + the
+    // verify join itself)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct().persist()
+    // exact-verify candidates only: grams are exploded ONLY for docs
+    // that appear in some candidate pair — at scale that is the near-dup
+    // fraction of the corpus, not the corpus
+    val ids = cand.select(explode(array(col("ida"), col("idb"))).as("doc_id"))
       .distinct()
-    // exact-verify candidates only
-    val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val shared = s.select(col("doc_id").as("ida"), col("gram"))
+    val candG = docsG.join(ids, "doc_id")
+      .select(col("doc_id"), explode(col("grams")).as("gram")).persist()
+    val sizes = docsG.select(col("doc_id"), size(col("grams")).cast("long").as("sz"))
+    val shared = candG.select(col("doc_id").as("ida"), col("gram"))
       .join(cand, "ida")
-      .join(s.select(col("doc_id").as("idb"), col("gram")), Seq("idb", "gram"))
+      .join(candG.select(col("doc_id").as("idb"), col("gram")), Seq("idb", "gram"))
       .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("shared"))
     shared
       .join(sizes.select(col("doc_id").as("ida"), col("sz").as("na")), "ida")
@@ -214,14 +235,22 @@ object Dedup {
     * drifts past `maxDist`) surfaces as a row-count mismatch. */
   def simhashNearDup(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                      maxDist: Int = 15): DataFrame = {
+    // persisted: consumed twice (candidate-doc id list + verify join)
     val cand = simhashPairs(docs, maxDist).select(col("ida"), col("idb"))
-    // consumed three times (size marginals + both sides of the
-    // shared-gram join)
-    val s = shingles(docs, n).persist()
-    val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val shared = s.select(col("doc_id").as("ida"), col("gram"))
+      .persist()
+    // grams are computed map-side and exploded ONLY for candidate docs
+    // (see minhashLsh — same verify shape, no full-corpus gram shuffle)
+    val ids = cand.select(explode(array(col("ida"), col("idb"))).as("doc_id"))
+      .distinct()
+    val gramsUdf = udf((t: String) => gramSet(t, n))
+    val candG = docs.select(col("doc_id"), gramsUdf(col("text")).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .join(ids, "doc_id").persist()
+    val sizes = candG.select(col("doc_id"), size(col("grams")).cast("long").as("sz"))
+    val ex = candG.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val shared = ex.select(col("doc_id").as("ida"), col("gram"))
       .join(cand, "ida")
-      .join(s.select(col("doc_id").as("idb"), col("gram")), Seq("idb", "gram"))
+      .join(ex.select(col("doc_id").as("idb"), col("gram")), Seq("idb", "gram"))
       .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("shared"))
     shared
       .join(sizes.select(col("doc_id").as("ida"), col("sz").as("na")), "ida")

@@ -25,19 +25,24 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est"),
     "es" -> Seq("el", "los", "las", "y", "es"))
 
-  def langId(docs: DataFrame): DataFrame = {
-    val ws = toks(lower(col("text")))
+  /** Column form of the language-ID heuristic (composes into a single
+    * narrow projection — `trainset` uses this to avoid joining the
+    * corpus back to itself for a per-row scalar). */
+  def langIdCol(text: Column): Column = {
+    val ws = toks(lower(text))
     def hits(lang: String): Column =
       size(filter(ws, w => markers(lang).map(m => w === m).reduce(_ || _)))
     val en = hits("en"); val de = hits("de"); val fr = hits("fr"); val es = hits("es")
     val best = greatest(en, de, fr, es)
-    docs.select(col("doc_id"),
-      when(best === 0, "unk")
-        .when(en === best, "en")
-        .when(de === best, "de")
-        .when(fr === best, "fr")
-        .otherwise("es").as("pred_lang"))
+    when(best === 0, "unk")
+      .when(en === best, "en")
+      .when(de === best, "de")
+      .when(fr === best, "fr")
+      .otherwise("es")
   }
+
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), langIdCol(col("text")).as("pred_lang"))
 
   private val stopwordList = Seq("the", "a", "an", "of", "and", "or", "is",
     "to", "in", "on")
@@ -45,17 +50,19 @@ object TextAnalysis {
   /** Heuristic quality score in [0,1]: length, alphabetic ratio,
     * stopword ratio — rational arithmetic over ints so any engine
     * computes the identical double. */
-  def qualityScore(docs: DataFrame): DataFrame = {
-    val ws = toks(col("text"))
-    val n = size(ws).cast("double")
-    val alpha = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
-      .cast("double") / greatest(length(col("text")), lit(1)).cast("double")
-    val stops = size(filter(toks(lower(col("text"))),
+  /** Column form of the quality score (see [[langIdCol]] for why). */
+  def qualityCol(text: Column): Column = {
+    val n = size(toks(text)).cast("double")
+    val alpha = length(regexp_replace(lower(text), "[^a-z]", ""))
+      .cast("double") / greatest(length(text), lit(1)).cast("double")
+    val stops = size(filter(toks(lower(text)),
       w => stopwordList.map(m => w === m).reduce(_ || _))).cast("double")
-    docs.select(col("doc_id"),
-      round(least(n, lit(50.0)) / 50.0 * 0.5 + alpha * 0.3 +
-        (lit(1.0) - stops / greatest(n, lit(1.0))) * 0.2, 6).as("quality"))
+    round(least(n, lit(50.0)) / 50.0 * 0.5 + alpha * 0.3 +
+      (lit(1.0) - stops / greatest(n, lit(1.0))) * 0.2, 6)
   }
+
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), qualityCol(col("text")).as("quality"))
 
   /** BPE-ish regex token count: alphabetic runs, digit runs, and single
     * non-space symbols each count as one token (the sub-word-tokenizer
@@ -74,14 +81,16 @@ object TextAnalysis {
 
   /** Composite training-set selection — the end-to-end data-curation
     * shape: quality floor ∧ language filter ∧ exact-dedup survivor
-    * (min doc_id per content fingerprint). One narrow pass for the
-    * scalar filters + one fingerprint groupBy; the semi-join on
-    * survivors stays on the 16-byte fingerprint, never the text. */
+    * (min doc_id per content fingerprint). The scalar scores are
+    * computed IN the corpus projection (column forms above) — the
+    * corpus is never joined back to itself for a per-row scalar — so
+    * the whole operator is one narrow scored pass + one fingerprint
+    * groupBy + one semi-join that carries only (doc_id). */
   def trainset(docs: DataFrame, minQuality: Double = 0.5,
                lang: String = "en"): DataFrame = {
-    val scored = docs
-      .join(qualityScore(docs), "doc_id")
-      .join(langId(docs), "doc_id")
+    val scored = docs.select(col("doc_id"),
+        qualityCol(col("text")).as("quality"),
+        langIdCol(col("text")).as("pred_lang"))
       .filter(col("quality") >= minQuality && col("pred_lang") === lang)
     val survivors = docs
       .groupBy(md5(col("text")).as("fp"))
