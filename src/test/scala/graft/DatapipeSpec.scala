@@ -12,6 +12,29 @@ class DatapipeSpec extends SparkSpec {
   private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
   private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
 
+  test("gramSet is the scalar twin of shingles (same set, same <n-words edge)") {
+    // the map-side gram set powering minhash/simhash verification must
+    // match the exploded shingle table gram-for-gram, including the
+    // edge cases: <n words → no grams, repeated grams deduped, mixed
+    // whitespace runs collapsed
+    val edge = Seq(
+      (1L, "a b c d e"), (2L, "x y"), (3L, ""), (4L, "  p\tq  r\ns  "),
+      (5L, "t t t t t"), (6L, "one two three one two three one two"))
+    val df = edge.toDF("doc_id", "text")
+    val viaSpark = Dedup.shingles(df, 3).as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val viaScalar = edge.map { case (id, t) => id -> Dedup.gramSet(t, 3).toSet }
+      .filter(_._2.nonEmpty).toMap
+    assert(viaScalar === viaSpark)
+    // and on the real fixture corpus
+    val real = Dedup.shingles(docs, 3).as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val texts = docs.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val realScalar = texts.map { case (id, t) => id -> Dedup.gramSet(t, 3).toSet }
+      .filter(_._2.nonEmpty).toMap
+    assert(realScalar === real)
+  }
+
   test("minhash LSH finds exactly the brute-force near-dup pairs (recall 1.0 here)") {
     val brute = Dedup.ngramJaccard(docs, threshold = 0.8)
       .select("ida", "idb").as[(Long, Long)].collect().toSet
