@@ -39,6 +39,18 @@ object KgPipeline {
   def annotated(spark: SparkSession, sfDir: String): Dataset[AnnotatedDoc] =
     Preprocess.annotate(corpus(spark, sfDir))
 
+  /** Corpus slice by doc_id residue, filtered BEFORE document synthesis
+    * and NLP — the fg/bg ranking queries annotate only their slice
+    * instead of annotating the whole corpus once per slice. */
+  private def corpusSlice(spark: SparkSession, sfDir: String,
+                          mod: Long, res: Long): Dataset[IceDoc] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(col("doc_id") % mod === res)
+      .as[Long].map(Gen.doc _)
+  }
+
   def instances(spark: SparkSession, sfDir: String): Dataset[PathInstance] =
     DepPathsStage.instances(annotated(spark, sfDir))
 
@@ -83,10 +95,10 @@ object KgPipeline {
   /** fg/bg term ranking: foreground = docs with id % 4 == 0, background
     * = docs with id % 4 == 2 (both deterministic slices, J1 join). */
   def termRank(spark: SparkSession, sfDir: String): DataFrame = {
-    val ann = annotated(spark, sfDir)
-    import spark.implicits._
-    val fg = TermsStage.termCounts(ann.filter(d => d.doc_id.toLong % 4 == 0))
-    val bg = TermsStage.termCounts(ann.filter(d => d.doc_id.toLong % 4 == 2))
+    val fg = TermsStage.termCounts(
+      Preprocess.annotate(corpusSlice(spark, sfDir, 4, 0)))
+    val bg = TermsStage.termCounts(
+      Preprocess.annotate(corpusSlice(spark, sfDir, 4, 2)))
     TermsStage.rankTerms(fg, bg)
   }
 
@@ -95,13 +107,12 @@ object KgPipeline {
     * 40-50): foreground/background doc slices as in termRank; score =
     * fgCnt·ln(fgCnt)/(bgCnt+1), bg side broadcast (J1). */
   def pathRank(spark: SparkSession, sfDir: String): DataFrame = {
-    val ann = annotated(spark, sfDir)
-    import spark.implicits._
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, log, round}
-    def types(p: Dataset[AnnotatedDoc]) =
-      DepPathsStage.pathTypesTable(DepPathsStage.instances(p))
-    val fg = types(ann.filter(d => d.doc_id.toLong % 4 == 0))
-    val bg = types(ann.filter(d => d.doc_id.toLong % 4 == 2))
+    def types(mod: Long, res: Long) =
+      DepPathsStage.pathTypesTable(DepPathsStage.instances(
+        Preprocess.annotate(corpusSlice(spark, sfDir, mod, res))))
+    val fg = types(4, 0)
+    val bg = types(4, 2)
       .select(col("type1"), col("path"), col("type2"), col("cnt").as("bg_cnt"))
     fg.join(broadcast(bg), Seq("type1", "path", "type2"), "left")
       .select(col("type1"), col("path"), col("type2"), col("cnt").as("fg_cnt"),
@@ -196,8 +207,13 @@ object KgPipeline {
     * substitution, 0.8/5 = 0.16) is under the 0.5 threshold, and the
     * deterministic (distance, name) tie-break picks bornIn. */
   def triplesSoft(spark: SparkSession, sfDir: String): DataFrame = {
-    val inst = instances(spark, sfDir)
-    val rs = rules(spark, sfDir).filterNot(_.relName == "diedIn")
+    // one persisted instance table feeds both the seed-rule resolution
+    // collect and the tagging flatMap (the NLP + mining chain would
+    // otherwise run twice — see triples())
+    val inst = instances(spark, sfDir).persist()
+    val repr = DepPathsStage.pathReprTable(inst)
+    val rs = TaggerStage.rulesFromSeeds(spark, repr, seedPhrases)
+      .filterNot(_.relName == "diedIn")
     TaggerStage.triples(inst, rs).toDF()
   }
 
@@ -220,8 +236,12 @@ object KgPipeline {
     * nearest rule — i.e. the result is observably different from
     * exact-word soft matching. */
   def triplesEmbSoft(spark: SparkSession, sfDir: String): DataFrame = {
-    val inst = instances(spark, sfDir)
-    val rs = rules(spark, sfDir).filterNot(_.relName == "movedTo")
+    // one persisted instance table for rule resolution + tagging, as in
+    // triples()/triplesSoft()
+    val inst = instances(spark, sfDir).persist()
+    val repr = DepPathsStage.pathReprTable(inst)
+    val rs = TaggerStage.rulesFromSeeds(spark, repr, seedPhrases)
+      .filterNot(_.relName == "movedTo")
     val bc = spark.sparkContext.broadcast(softMatchEmbedding)
     val wordSim: (String, String) => Double = (a, b) => {
       if (a == b) 1.0
