@@ -31,8 +31,13 @@ object BootstrapStage {
   def sharedArgScores(inst: Dataset[PathInstance],
                       seedPaths: Set[String],
                       rejectPaths: Set[String] = Set.empty): DataFrame = {
+    // persisted: three consumers (seed pairs, per-path totals, the
+    // shared join) — keeps the upstream mining chain from running once
+    // per consumer when the caller passes an unpersisted instance
+    // table. Released by the caller's clearCache.
     val df = inst.toDF().select(col("path"), col("type1"), col("type2"),
       concat_ws(":::", col("arg1"), col("arg2")).as("arg_pair"))
+      .persist()
     val seedPairs = df.filter(col("path").isin(seedPaths.toSeq: _*))
       .select(col("arg_pair")).distinct()
     val totals = df.groupBy(col("path"))

@@ -49,7 +49,11 @@ object EventBootstrapStage {
                       seedTriggers: Set[String],
                       seedType1: String, seedType2: String,
                       rejectKeys: Set[String] = Set.empty): DataFrame = {
-    val df = eventPairs(ev)
+    // persisted: the pair view feeds four consumers (seed pairs, seed
+    // keys, per-trigger totals, the shared join) — without it the whole
+    // NLP + tree-extraction chain upstream runs once per consumer.
+    // Released by the caller's clearCache, like every per-query cache.
+    val df = eventPairs(ev).persist()
     val seedInst = df.filter(col("trigger").isin(seedTriggers.toSeq: _*) &&
       col("type1") === seedType1 && col("type2") === seedType2)
     val seedPairs = seedInst.select(col("arg_pair")).distinct()
