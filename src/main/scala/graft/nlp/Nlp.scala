@@ -61,26 +61,51 @@ object Nlp {
   /** Verb lemma with a rule-based inflection fallback for verbs outside
     * the lexicon (otherwise a non-fixture verb passes through
     * unlemmatized and splits its path counts across inflections).
-    * Conservative stripping: -ies/-ied→y, -es after sibilants, -s,
-    * -ed/-ing with doubled-consonant collapse. Lexicon verbs (the whole
-    * fixture grammar) are unaffected. */
+    * Conservative stripping: -ies/-ied→y, -eed→ee, -es after
+    * sibilants, -s, -ed/-ing with doubled-consonant collapse and
+    * Porter-style e-restoration (Porter 1980 step 1b: +e after at/bl/iz
+    * stems and after short CVC stems) — "agreed"→"agree",
+    * "smiled"→"smile", "taking"→"take", while "visited"→"visit" and
+    * "walking"→"walk" stay e-less. Lexicon verbs (the whole fixture
+    * grammar) are unaffected. */
   def lemmaVerb(w: String): String = {
     val lw = w.toLowerCase
     verbLemma.getOrElse(lw, {
-      def undouble(s: String): String =
+      def vowel(s: String, i: Int): Boolean =
+        "aeiou".indexOf(s(i)) >= 0 ||
+          (s(i) == 'y' && i > 0 && "aeiou".indexOf(s(i - 1)) < 0)
+      def vowelGroups(s: String): Int = {
+        var g = 0; var i = 0
+        while (i < s.length) {
+          if (vowel(s, i) && (i == 0 || !vowel(s, i - 1))) g += 1
+          i += 1
+        }
+        g
+      }
+      // Porter 1b cleanup of a stripped -ed/-ing stem: collapse a
+      // doubled final consonant, OR restore the elided base-form 'e'
+      // (mutually exclusive branches, as in the reference algorithm)
+      def fixStem(s: String): String =
         if (s.length >= 3 && s.last == s(s.length - 2) &&
             !"aeiou".contains(s.last) && s.last != 'l' && s.last != 's')
           s.dropRight(1)
+        else if (s.endsWith("at") || s.endsWith("bl") || s.endsWith("iz"))
+          s + "e"
+        else if (s.length >= 3 && !vowel(s, s.length - 1) &&
+                 "wxy".indexOf(s.last) < 0 && vowel(s, s.length - 2) &&
+                 !vowel(s, s.length - 3) && vowelGroups(s) == 1)
+          s + "e"
         else s
       if (lw.length > 4 && lw.endsWith("ies")) lw.dropRight(3) + "y"
       else if (lw.length > 4 && lw.endsWith("ied")) lw.dropRight(3) + "y"
+      else if (lw.length > 4 && lw.endsWith("eed")) lw.dropRight(1)
       else if (lw.length > 4 && lw.endsWith("es") &&
                Seq("ses", "xes", "zes", "ches", "shes").exists(lw.endsWith))
         lw.dropRight(2)
       else if (lw.length > 3 && lw.endsWith("s") && !lw.endsWith("ss"))
         lw.dropRight(1)
-      else if (lw.length > 4 && lw.endsWith("ed")) undouble(lw.dropRight(2))
-      else if (lw.length > 5 && lw.endsWith("ing")) undouble(lw.dropRight(3))
+      else if (lw.length > 4 && lw.endsWith("ed")) fixStem(lw.dropRight(2))
+      else if (lw.length > 5 && lw.endsWith("ing")) fixStem(lw.dropRight(3))
       else lw
     })
   }

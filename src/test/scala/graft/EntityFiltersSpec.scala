@@ -69,8 +69,16 @@ class EntityFiltersSpec extends SparkSpec {
     assert(Nlp.lemmaVerb("planned") === "plan")
     assert(Nlp.lemmaVerb("running") === "run")
     assert(Nlp.lemmaVerb("walks") === "walk")
-    // documented heuristic limit: no e-restoration ("agreed" -> "agre");
-    // still collapses inflections of the same verb to one key
-    assert(Nlp.lemmaVerb("agreed") === "agre")
+    // Porter 1b e-restoration: base-form 'e' comes back after eed /
+    // at-bl-iz / short-CVC stems, and ONLY there
+    assert(Nlp.lemmaVerb("agreed") === "agree")
+    assert(Nlp.lemmaVerb("smiled") === "smile")
+    assert(Nlp.lemmaVerb("taking") === "take")
+    assert(Nlp.lemmaVerb("hoping") === "hope")
+    assert(Nlp.lemmaVerb("hopping") === "hop")
+    assert(Nlp.lemmaVerb("generated") === "generate")
+    assert(Nlp.lemmaVerb("troubled") === "trouble")
+    assert(Nlp.lemmaVerb("walking") === "walk") // 'lk' coda: no e
+    assert(Nlp.lemmaVerb("edited") === "edit") // two vowel groups: no e
   }
 }
