@@ -53,7 +53,14 @@ object TermsStage {
   /** Ratio ranking (A9, TermRanker.java:84-88 with alpha=1 and +1
     * smoothing): score = fgDocFreq * ln(fgDocFreq) / (bgDocFreq + 1).
     * bg side is broadcast — a dimension-table join (J1). Score rounded
-    * to 6 dp for cross-engine comparability. */
+    * to 6 dp for cross-engine comparability.
+    *
+    * Scale note: the broadcast hint is right while the background
+    * TERM VOCABULARY (not the background corpus) fits an executor —
+    * tens of millions of (term, doc_freq) rows. For a web-scale bg
+    * vocabulary, drop the hint and let AQE pick the join (it shuffles
+    * on `term`, the natural key, and still broadcasts small sides at
+    * runtime). */
   def rankTerms(fg: DataFrame, bg: DataFrame): DataFrame = {
     val bgc = broadcast(bg.select(col("term").as("bg_term"),
       col("doc_freq").as("bg_doc_freq")))

@@ -105,7 +105,10 @@ object KgPipeline {
   /** fg/bg path-type ratio ranking (A8 applied to relations — the
     * reference's rankRelations flow, Corpus.java:241-259 + Ratio.java:
     * 40-50): foreground/background doc slices as in termRank; score =
-    * fgCnt·ln(fgCnt)/(bgCnt+1), bg side broadcast (J1). */
+    * fgCnt·ln(fgCnt)/(bgCnt+1), bg side broadcast (J1). Broadcast is
+    * right while the bg PATH-TYPE vocabulary fits an executor; at a
+    * web-scale vocabulary drop the hint and let AQE choose (see
+    * TermsStage.rankTerms). */
   def pathRank(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, log, round}
     def types(mod: Long, res: Long) =
