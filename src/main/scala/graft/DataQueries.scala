@@ -19,6 +19,31 @@ object DataQueries {
   private def ev(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
 
+  /** Stage events.parquet into a fresh temp directory for a file-stream
+    * read (readStream needs a directory containing only the streamed
+    * table). Handles both single-file and directory-style parquet, and
+    * registers everything deleteOnExit so repeated Bench/Verify runs
+    * don't accumulate copies in /tmp. */
+  private def stageStreamInput(d: String, prefix: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Path, Paths}
+    val src = Paths.get(s"$d/events.parquet")
+    val dir = Files.createTempDirectory(prefix)
+    dir.toFile.deleteOnExit()
+    def copyInto(from: Path, to: Path): Unit = {
+      Files.copy(from, to)
+      to.toFile.deleteOnExit()
+      if (Files.isDirectory(from)) {
+        val it = Files.list(from).iterator()
+        while (it.hasNext) {
+          val c = it.next()
+          copyInto(c, to.resolve(c.getFileName))
+        }
+      }
+    }
+    copyInto(src, dir.resolve("events.parquet"))
+    dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- dedup family ---
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
@@ -127,10 +152,7 @@ object DataQueries {
       // into a complete-mode memory sink; result must equal the batch
       // aggregation (the DuckDB oracle).
       val schema = s.read.parquet(s"$d/events.parquet").schema
-      val dir = java.nio.file.Files.createTempDirectory("graft-qstream")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/events.parquet"),
-        dir.resolve("events.parquet"))
+      val dir = stageStreamInput(d, "graft-qstream")
       val name = "qse_" + java.lang.Long.toHexString(System.nanoTime())
       val q = s.readStream.schema(schema).parquet(dir.toString)
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
@@ -151,10 +173,7 @@ object DataQueries {
       // gap-split sessions, where a user's LAST session only emits if
       // the final watermark (max ts - 10 min) passed its end + gap.
       val schema = s.read.parquet(s"$d/events.parquet").schema
-      val dir = java.nio.file.Files.createTempDirectory("graft-qsess")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/events.parquet"),
-        dir.resolve("events.parquet"))
+      val dir = stageStreamInput(d, "graft-qsess")
       val name = "qss_" + java.lang.Long.toHexString(System.nanoTime())
       val stream = s.readStream.schema(schema).parquet(dir.toString)
       val q = graft.streaming.Sessionize.sessions(stream)

@@ -87,7 +87,7 @@ object Nlp {
       // (mutually exclusive branches, as in the reference algorithm)
       def fixStem(s: String): String =
         if (s.length >= 3 && s.last == s(s.length - 2) &&
-            !"aeiou".contains(s.last) && s.last != 'l' && s.last != 's')
+            !"aeiouz".contains(s.last) && s.last != 'l' && s.last != 's')
           s.dropRight(1)
         else if (s.endsWith("at") || s.endsWith("bl") || s.endsWith("iz"))
           s + "e"
@@ -426,6 +426,10 @@ object Nlp {
       // 19+-digit token must be skipped, not throw on the executor
       if (j < tokens.length && tokens(j).pos == "CD") tokens(j).word.toLongOption
       else None
+    // base * illion must not wrap: skip the mention (like the 19-digit
+    // case) instead of emitting a negative canonical value
+    def mulExact(a: Long, b: Long): Option[Long] =
+      try Some(Math.multiplyExact(a, b)) catch { case _: ArithmeticException => None }
     def illionAt(j: Int): Option[Long] =
       if (j < tokens.length) illions.get(tokens(j).word.toLowerCase) else None
     while (i < tokens.length) {
@@ -436,11 +440,16 @@ object Nlp {
           case Some(m) => (m, i + 3)
           case None => (1L, i + 2)
         }
-        out += Name(i, end, end - 1, "MONEY", tokens.slice(i, end).map(_.word).mkString(" "),
-          (base * mult).toString)
-        i = end
-      } else if (numAt(i).isDefined && illionAt(i + 1).isDefined) {
-        val v = numAt(i).get * illionAt(i + 1).get
+        mulExact(base, mult) match {
+          case Some(v) =>
+            out += Name(i, end, end - 1, "MONEY",
+              tokens.slice(i, end).map(_.word).mkString(" "), v.toString)
+            i = end
+          case None => i += 1
+        }
+      } else if (numAt(i).isDefined && illionAt(i + 1).isDefined &&
+                 mulExact(numAt(i).get, illionAt(i + 1).get).isDefined) {
+        val v = mulExact(numAt(i).get, illionAt(i + 1).get).get
         out += Name(i, i + 2, i + 1, "NUMBER",
           tokens(i).word + " " + tokens(i + 1).word, v.toString)
         i += 2

@@ -108,7 +108,14 @@ object EventBootstrapStage {
     * trigger similarity and role-matched argument-type similarity,
     * normalized by the smaller argument count. `wordSim` defaults to
     * exact match (1.0 iff equalsIgnoreCase — WordEmbedding.java:107-111
-    * behavior with no embeddings loaded). */
+    * behavior with no embeddings loaded).
+    *
+    * Reference-faithful quirk (kept deliberately, like the illions
+    * parity note): the argument term sums over ALL role-matched cross
+    * pairs but divides by min(|args1|,|args2|), so trees with a
+    * duplicated role label can score above 1.0 — the reference's
+    * treeSimilarity has exactly this property
+    * (WordEmbedding.java:145-152). */
   def treeSimilarity(trig1: String, args1: Seq[EventArg],
                      trig2: String, args2: Seq[EventArg],
                      wordSim: (String, String) => Double =

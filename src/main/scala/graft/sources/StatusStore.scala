@@ -24,9 +24,43 @@ object StatusStore {
 
   private def unquote(s: String): String = {
     val t = s.trim
-    if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\""))
-      t.substring(1, t.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")
-    else t
+    if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\"")) {
+      // escape-aware scan (a pair of replace()s mis-handles `\\"`)
+      val body = t.substring(1, t.length - 1)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < body.length) {
+        if (body(i) == '\\' && i + 1 < body.length) { sb.append(body(i + 1)); i += 2 }
+        else { sb.append(body(i)); i += 1 }
+      }
+      sb.toString
+    } else t
+  }
+
+  /** Split a `key: value` property line at the key's TERMINATING colon —
+    * a quoted key may itself contain colons (quote() quotes them), so
+    * the split point is found by scanning past the closing quote, not
+    * by indexOf(':'). */
+  private def splitProp(t: String): (String, String) = {
+    if (t.startsWith("\"")) {
+      var i = 1
+      var esc = false
+      var end = -1
+      while (i < t.length && end < 0) {
+        val c = t(i)
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') end = i
+        i += 1
+      }
+      val close = if (end < 0) t.length - 1 else end
+      val rest = t.substring(math.min(close + 1, t.length))
+      (unquote(t.substring(0, close + 1)),
+        unquote(rest.dropWhile(_ != ':').drop(1)))
+    } else {
+      val i = t.indexOf(':')
+      (unquote(t.substring(0, i)), unquote(t.substring(i + 1)))
+    }
   }
 
   def render(st: IceStatus): String = {
@@ -79,9 +113,7 @@ object StatusStore {
           case _ =>
         }
       } else if (indent == 4 && t.contains(':')) {
-        val i = t.indexOf(':')
-        val k = unquote(t.substring(0, i))
-        val v = unquote(t.substring(i + 1))
+        val (k, v) = splitProp(t)
         corpora += current -> (corpora(current) + (k -> v))
       }
     }

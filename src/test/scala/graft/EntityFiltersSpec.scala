@@ -59,6 +59,15 @@ class EntityFiltersSpec extends SparkSpec {
     assert(StatusStore.load(path) === st)
     // missing file -> empty status
     assert(StatusStore.load(path + ".nope") === IceStatus())
+    // property KEYS carrying colons / quotes / backslashes must survive
+    // a save/load cycle too (the key split scans past the closing
+    // quote instead of cutting at the first ':')
+    val tricky = IceStatus(corpora = Map(
+      "c:2" -> Map("a:b" -> "v:w", "q\"uote" -> "x\\y", "" -> "")))
+    val path2 = java.nio.file.Files.createTempDirectory("graft-status2")
+      .resolve("ice.yml").toString
+    StatusStore.save(path2, tricky)
+    assert(StatusStore.load(path2) === tricky)
   }
 
   test("verb-lemma fallback strips inflections without touching lexicon verbs") {
@@ -80,5 +89,8 @@ class EntityFiltersSpec extends SparkSpec {
     assert(Nlp.lemmaVerb("troubled") === "trouble")
     assert(Nlp.lemmaVerb("walking") === "walk") // 'lk' coda: no e
     assert(Nlp.lemmaVerb("edited") === "edit") // two vowel groups: no e
+    // Porter keeps -ll/-ss/-zz doubled, so base and inflection agree
+    assert(Nlp.lemmaVerb("buzzed") === "buzz")
+    assert(Nlp.lemmaVerb("buzz") === "buzz")
   }
 }

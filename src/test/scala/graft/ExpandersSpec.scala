@@ -67,6 +67,12 @@ class ExpandersSpec extends AnyFunSuite {
     assert(num.canonical === "300000")
     val time = vals.find(_.etype == "TIME").get
     assert(time.surface === "Monday")
+    // overflow guards: a 19+-digit literal AND a base*illion product
+    // that wraps Long are both skipped, never emitted as garbage
+    val big = Nlp.tagValues(
+      Nlp.tokenize("It cost $ 99999999999999999999 now and $ 999999999999999999 billion more and 999999999999999999 billion things."))
+    assert(!big.exists(v => v.etype == "MONEY" || v.etype == "NUMBER"))
+    assert(!big.exists(_.canonical.startsWith("-")))
   }
 
   test("F11 crossing-annotation guard: crossing rejected, nesting allowed") {
