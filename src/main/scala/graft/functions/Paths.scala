@@ -299,7 +299,11 @@ object Paths {
     s.replace("(1)", "()").replace("(2)", "(1)").replace("()", "(2)")
 
   /** Path simplification applied by the tagger before matching (F14,
-    * RelaxedDepPathRelationTagger.java:85-91). */
+    * RelaxedDepPathRelationTagger.java:85-91). Inert in this pipeline's
+    * own flow — `Nlp.transform` already drops every vch arc before path
+    * mining, so no mined candidate contains `:vch:` — but kept (like
+    * the reference keeps it) as the safety net for externally-supplied
+    * rule paths that still carry verb-chain hops. */
   def simplifyForTagging(path: String): String =
     path.replace("would:vch:", "").replace("be:vch:", "").replace("were:vch:", "")
 
@@ -311,6 +315,11 @@ object Paths {
   val MatchThreshold = 0.5
   val NegDiscount = 0.8
 
+  // The preps_of/preps_with entries are reference-faithful dead weight:
+  // they appear ONLY in PathMatcher's table (PathMatcher.java:32-33) —
+  // no reference component ever emits a "preps_*" label, and this
+  // pipeline's uncollapsed "prep:of:pobj" segments don't match them
+  // either. Kept verbatim for parity with the cited table.
   private val labelWeights = Map("nsubj-1" -> 1.5, "dobj-1" -> 1.5,
     "nsubj" -> 1.0, "dobj" -> 0.5, "preps_of" -> 0.2, "preps_with" -> 0.2)
   private val LabelMismatchPenalty = 2.5

@@ -9,15 +9,23 @@ import org.apache.spark.sql.functions._
   *
   * Phase 1 groups by (keys, salt) so a hot key's rows spread over
   * `saltBuckets` reducers; phase 2 sums the partials per key. The salt
-  * is derived from a hash of the whole row (deterministic, no RNG), so
-  * results are identical at any parallelism.
+  * mixes a per-partition row ordinal into the row hash — a salt
+  * derived from the row VALUES alone degenerates to a pure function of
+  * the key whenever a hot key's rows are exact duplicates (or the
+  * input is already projected down to the key columns), which silently
+  * turns the two-phase split back into one reducer per hot key. Salt
+  * values therefore vary with physical row placement, but the OUTPUT
+  * never depends on which bucket a row landed in: phase 2 re-sums per
+  * key, so results are identical at any parallelism.
   */
 object Salting {
 
+  private def salt(saltBuckets: Int) =
+    pmod(hash(monotonically_increasing_id()), lit(saltBuckets))
+
   def saltedCount(df: DataFrame, keys: Seq[String],
                   saltBuckets: Int = 32): DataFrame = {
-    val allCols = df.columns.map(col).toSeq
-    df.withColumn("_salt", pmod(hash(allCols: _*), lit(saltBuckets)))
+    df.withColumn("_salt", salt(saltBuckets))
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(count(lit(1)).as("_partial"))
       .groupBy(keys.map(col): _*)
@@ -27,8 +35,7 @@ object Salting {
   /** Salted two-phase sum over a numeric column. */
   def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
                 alias: String, saltBuckets: Int = 32): DataFrame = {
-    val allCols = df.columns.map(col).toSeq
-    df.withColumn("_salt", pmod(hash(allCols: _*), lit(saltBuckets)))
+    df.withColumn("_salt", salt(saltBuckets))
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(sum(col(valueCol)).as("_partial"))
       .groupBy(keys.map(col): _*)

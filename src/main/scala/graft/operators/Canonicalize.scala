@@ -87,8 +87,14 @@ object Canonicalize {
         coalesce(col("canon"), col("surface")).as("dst"))
   }
 
-  /** Rewrite triples with canonical entity ids (component minimum —
-    * canonical forms sort before their aliases by construction). */
+  /** Rewrite triples with canonical entity ids. The CC label (component
+    * minimum) is only a stable component id, not a semantic choice: the
+    * representative written into the triples is the component's
+    * gazetteer-CANONICAL member when one exists (min of them if several
+    * aliases chains merged), falling back to the component min for
+    * components the gazetteer doesn't know. This keeps the output
+    * correct for gazetteers where an alias sorts before its canonical
+    * form ("NYC" < "New York City"). */
   /** @param materialized pass true when `triples` is already a committed
     *   table scan (cheap to re-read) — skips the localCheckpoint that is
     *   otherwise needed to avoid recomputing the whole extraction chain
@@ -101,8 +107,18 @@ object Canonicalize {
     val spark = triples.sparkSession
     import spark.implicits._
     val tri = if (materialized) triples.toDF() else triples.toDF().localCheckpoint()
-    val comps = connectedComponents(
+    val rawComps = connectedComponents(
       aliasEdges(tri.as[Triple], gazetteer))
+    // remap each component id to its semantic representative
+    val canonDf = broadcast(gazetteer.values.toSeq.distinct.toDF("id")
+      .withColumn("is_canon", lit(true)))
+    val reps = rawComps.join(canonDf, Seq("id"), "left")
+      .groupBy(col("comp"))
+      .agg(min(when(col("is_canon"), col("id"))).as("canon_rep"),
+        min(col("id")).as("min_rep"))
+      .select(col("comp"), coalesce(col("canon_rep"), col("min_rep")).as("rep"))
+    val comps = rawComps.join(reps, Seq("comp"))
+      .select(col("id"), col("rep").as("comp"))
     val bySubj = comps.select(col("id").as("subj"), col("comp").as("canonical_subj"))
     val byObj = comps.select(col("id").as("obj"), col("comp").as("canonical_obj"))
     // no broadcast hint: the surface dictionary is small here but can be

@@ -44,7 +44,11 @@ object DepPathsStage {
           val blocked = new Array[Boolean](n)
           sent.names.foreach(m => if (m.head < n) blocked(m.head) = true)
           val out = Vector.newBuilder[PathInstance]
-          Paths.mentionPairs(sent.names).foreach { case (m1, m2) =>
+          // same head < n guard as the mask init above: a mention with
+          // an out-of-range head must be skipped, not crash the task
+          Paths.mentionPairs(sent.names)
+            .filter { case (m1, m2) => m1.head < n && m2.head < n }
+            .foreach { case (m1, m2) =>
             blocked(m1.head) = false; blocked(m2.head) = false
             for {
               (tNodes, tLabels) <- Paths.bfsGraph(gT, m1.head, m2.head, blocked)

@@ -401,7 +401,11 @@ object KgPipeline {
       TaggerStage.triples(instDs, ruleSeq, metrics = Some(metrics)).toDF()
     }
     io.getOrCompute("canonical_triples", inputs = Seq("triples")) {
-      Canonicalize.canonicalTriples(tri.as[Triple], graft.nlp.Nlp.gpeCanonical).toDF()
+      // materialized = true: `tri` is a committed-table scan, so the CC
+      // loop's repeated passes re-read cheap parquet — no need for the
+      // localCheckpoint copy the flag otherwise buys
+      Canonicalize.canonicalTriples(tri.as[Triple], graft.nlp.Nlp.gpeCanonical,
+        materialized = true).toDF()
     }
     io
   }

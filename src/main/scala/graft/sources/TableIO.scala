@@ -45,8 +45,13 @@ final class TableIO(spark: SparkSession, root: String) {
     val t0 = System.nanoTime()
     val dir = tableDir(name)
     val dataDir = s"$dir/data"
-    // drop any uncommitted leftovers from a killed run
-    if (!isCommitted(name)) deleteRecursively(Paths.get(dir))
+    // Re-committing an existing table must first UNCOMMIT it — the
+    // manifest is the commit point, so it cannot keep pointing at data
+    // that is being rewritten (a kill mid-rewrite would otherwise leave
+    // a committed manifest over corrupt data, and resume would skip the
+    // recompute). Then drop any uncommitted leftovers from a killed run.
+    uncommit(name)
+    deleteRecursively(Paths.get(dir))
     val writer = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dataDir)
@@ -64,11 +69,11 @@ final class TableIO(spark: SparkSession, root: String) {
       .toSeq.toDF("file", "rows_out", "stage", "wall_ms")
       .write.mode("overwrite").parquet(s"$dir/_lineage")
     val snapshotId = java.util.UUID.randomUUID().toString
-    val inputSnaps = inputs.map(i => s""""$i": ${snapshotOf(i)}""").mkString(",")
+    val inputSnaps = inputs.map(i => s"${jstr(i)}: ${snapshotOf(i)}").mkString(",")
     val metricJson =
-      metrics.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      metrics.toSeq.sorted.map { case (k, v) => s"${jstr(k)}:$v" }.mkString(",")
     val json =
-      s"""{"table":"$name","snapshot":"$snapshotId","rows":$rows,
+      s"""{"table":${jstr(name)},"snapshot":"$snapshotId","rows":$rows,
          |"wall_ms":$wallMs,"metrics":{$metricJson},"inputs":{$inputSnaps}}""".stripMargin
     val tmp = Paths.get(dir, s"_manifest.json.tmp")
     Files.writeString(tmp, json)
@@ -98,9 +103,23 @@ final class TableIO(spark: SparkSession, root: String) {
   def uncommit(name: String): Unit =
     Files.deleteIfExists(manifestPath(name))
 
+  // manifest strings are interpolated into JSON: escape them (a table
+  // name or metric key with a quote/backslash must not produce an
+  // unparseable manifest)
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      // Files.walk holds directory handles until closed
+      val stream = Files.walk(p)
+      try stream.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
+      finally stream.close()
     }
 }

@@ -55,12 +55,24 @@ object Sessionize {
 
   /** Streaming sessionization: watermarked event stream → per-user
     * state; closed sessions are emitted in append mode (on gap within a
-    * batch, or on event-time timeout across batches). */
+    * batch, or on event-time timeout across batches).
+    *
+    * Constraint: the watermark delay must not exceed the session gap.
+    * A closed session is final the moment the gap elapses; a watermark
+    * longer than the gap would admit events for sessions already
+    * emitted, and the fold's beyond-late branch would silently drop
+    * them (enforced below rather than documented-only). */
   def sessions(events: DataFrame, gapMinutes: Int = 30,
                watermark: String = "10 minutes"): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
+    val wmMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
+    require(wmMs.months == 0 &&
+      wmMs.days * 86400000000L + wmMs.microseconds <= gapMs * 1000L,
+      s"watermark delay ($watermark) must be <= session gap ($gapMinutes min): " +
+        "later events would target sessions that were already emitted")
     // keep the watermarked `ts` column itself through the projection —
     // deriving a new column would strip the watermark tag the
     // event-time timeout requires

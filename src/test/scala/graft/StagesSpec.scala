@@ -19,6 +19,24 @@ class StagesSpec extends SparkSpec {
     assert(comps("z") === "z")
   }
 
+  test("canonicalTriples picks the gazetteer canonical even when an alias sorts first") {
+    import graft.core.Triple
+    val tri = Seq(
+      Triple("d1", "Ann Smith", "livesIn", "NYC"),
+      Triple("d2", "Ann Smith", "livesIn", "New York City"),
+      Triple("d3", "Bo Li", "livesIn", "Unknownton"))
+      .toDS()
+    val out = Canonicalize
+      .canonicalTriples(tri, Map("NYC" -> "New York City"))
+      .collect().map(t => t.obj -> t.canonical_obj).toMap
+    // "NYC" < "New York City" lexicographically (uppercase Y < lowercase e),
+    // so the component MIN is the alias — the canonical must win anyway
+    assert(out("NYC") === "New York City")
+    assert(out("New York City") === "New York City")
+    // un-gazetted surfaces stay themselves
+    assert(out("Unknownton") === "Unknownton")
+  }
+
   test("event extraction: filler sentence yields verb-headed tree with nsubj+dobj") {
     val docs = spark.createDataset(Seq(
       IceDoc("e1", Seq(SpanT("text", "The budget mentioned the report.", "", 0)))))
