@@ -17,11 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
+  // (id, v): double-cast vector view. Norms are NOT precomputed —
+  // cosineSim normalizes inside its fused loop.
   private def normed(emb: DataFrame, idCol: String): DataFrame =
     emb.select(col(idCol),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm",
-        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), _ + _)))
+      transform(col("embedding"), x => x.cast("double")).as("v"))
 
   /** Exact top-k cosine neighbors for each query vector (query set =
     * vec_id < nQueries). Output (query_id, neighbor_id, rank). The
@@ -156,7 +156,14 @@ object Ann {
   def lshTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
               bits: Int = 4, bands: Int = 24): DataFrame = {
     val spark = emb.sparkSession
-    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    // empty corpus → empty result (same guard as ivfTopK), not a
+    // NoSuchElementException out of first()
+    val dimRow = emb.select(size(col("embedding"))).limit(1).collect()
+    if (dimRow.isEmpty)
+      return emb.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
+          lit(0).as("rank")).limit(0)
+    val dim = dimRow(0).getInt(0)
     val planes = spark.sparkContext.broadcast(hyperplanes(dim, bits * bands))
     val keysUdf = udf((v: Seq[Double]) => {
       val ps = planes.value

@@ -274,7 +274,12 @@ object Dedup {
   def embeddingNearDupLsh(emb: DataFrame, threshold: Double = 0.5,
                           bits: Int = 4, bands: Int = 16): DataFrame = {
     val spark = emb.sparkSession
-    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    // empty corpus → empty pair set, not a first() crash
+    val dimRow = emb.select(size(col("embedding"))).limit(1).collect()
+    if (dimRow.isEmpty)
+      return emb.select(col("vec_id").cast("long").as("ida"),
+        col("vec_id").cast("long").as("idb")).limit(0)
+    val dim = dimRow(0).getInt(0)
     val planes = spark.sparkContext.broadcast(
       Ann.hyperplanes(dim, bits * bands, seed = 11L))
     val keysUdf = udf((v: Seq[Double]) => {

@@ -382,17 +382,31 @@ object Paths {
                 positives: Seq[(String, String)], // (path, relName)
                 negatives: Seq[(String, String)],
                 wordSim: (String, String) => Double =
-                  (x, y) => if (x == y) 1.0 else 0.0): Option[String] = {
-    def best(rules: Seq[(String, String)]): Option[(String, Double)] =
+                  (x, y) => if (x == y) 1.0 else 0.0): Option[String] =
+    softMatchWithKey(candidate, positives, negatives, wordSim).map(_._2)
+
+  /** As [[softMatch]], but also returns the WINNING rule's path key —
+    * callers that attach per-rule metadata (e.g. the swap12 `invert`
+    * flag) need the matched rule's identity, not just its relation
+    * name, because one relation can resolve through both the direct and
+    * the swapped leg with different decode orientations. */
+  def softMatchWithKey(candidate: String,
+                       positives: Seq[(String, String)],
+                       negatives: Seq[(String, String)],
+                       wordSim: (String, String) => Double =
+                         (x, y) => if (x == y) 1.0 else 0.0)
+      : Option[(String, String)] = {
+    def best(rules: Seq[(String, String)]): Option[((String, String), Double)] =
       rules.iterator.map { case (p, r) =>
-        (r, pathEditDistance(candidate, p, DefaultCosts, wordSim) /
+        ((p, r), pathEditDistance(candidate, p, DefaultCosts, wordSim) /
           math.max(1, p.split(':').length))
-      }.minByOption(t => (t._2, t._1)) // deterministic tie-break on rule name
+      // deterministic tie-break: score, then rule name, then path
+      }.minByOption(t => (t._2, t._1._2, t._1._1))
     best(positives) match {
-      case Some((rel, s)) if s < MatchThreshold =>
+      case Some(((p, rel), s)) if s < MatchThreshold =>
         best(negatives.filter(_._2 == rel)) match {
           case Some((_, ns)) if ns * NegDiscount < s => None
-          case _ => Some(rel)
+          case _ => Some((p, rel))
         }
       case _ => None
     }

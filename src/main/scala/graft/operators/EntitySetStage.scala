@@ -23,8 +23,11 @@ object EntitySetStage {
     import docs.sparkSession.implicits._
     docs.flatMap { d =>
       d.sentences.flatMap { s =>
+        // Set, not Seq.contains: the term list (NP suffixes + name
+        // terms) is scanned once per TOKEN in a corpus-wide flatMap
+        val termSet = s.terms.toSet
         val termToks = s.tokens.zipWithIndex.collect {
-          case (t, i) if s.terms.contains(t.word.toLowerCase) => i -> t.word.toLowerCase
+          case (t, i) if termSet(t.word.toLowerCase) => i -> t.word.toLowerCase
         }.toMap
         s.deps.flatMap { a =>
           val gov = termToks.get(a.tgtPos).collect {
@@ -110,7 +113,10 @@ object EntitySetStage {
       .agg(sum(col("cnt")).as("row_total"))
     val ctxTotals = cells.groupBy(col("context"))
       .agg(sum(col("cnt")).as("ctx_total"))
-    val n = cells.agg(sum(col("cnt"))).first().getLong(0).toDouble
+    // coalesce: sum() over zero cells is null (e.g. the cutoff filtered
+    // every term), which must yield an empty index, not an NPE
+    val n = cells.agg(coalesce(sum(col("cnt")), lit(0L)))
+      .first().getLong(0).toDouble
     cells.join(rowTotals, "term")
       .join(broadcast(ctxTotals), "context")
       .withColumn("pmi", round(

@@ -36,17 +36,20 @@ object Export {
     *  - entity mentions align by (doc, head END OFFSET); a response
     *    mention whose offset hits an already-consumed key mention is
     *    spurious ("duplicate head")
-    *  - a response relation mention matches a key relation when its
-    *    aligned argument offsets match in order — or swapped, for
-    *    predicates in `symmetricPreds` — scoring `correct` on predicate
-    *    agreement and `type_error` otherwise; unmatched response rows
-    *    are spurious, unconsumed key rows missing
+    *  - a response relation mention CONSUMES at most one key relation
+    *    whose aligned argument offsets match in order — or swapped,
+    *    when the KEY predicate is in `symmetricPreds` — scoring
+    *    `correct` on predicate agreement and `type_error` otherwise;
+    *    responses finding no unconsumed key are spurious, leftover keys
+    *    missing (one-to-one, like the reference's remove-on-match loop)
     *  - P/R/F count type errors in both denominators, as the reference
     *    does (reportScores)
     *
     * Entity tables: `(doc_id, head_end)`; relation tables:
-    * `(doc_id, pred, a1_end, a2_end)`. All joins are equi-joins on
-    * (doc, offset) keys — distributed, no driver-side alignment map. */
+    * `(doc_id, pred, a1_end, a2_end)`. Entity alignment is equi-joined
+    * on (doc, offset); relation consumption runs per
+    * (doc, unordered-arg-pair) cogroup — distributed, no driver-side
+    * alignment map. */
   def scoreMentions(keyEnts: DataFrame, respEnts: DataFrame,
                     keyRels: DataFrame, respRels: DataFrame,
                     symmetricPreds: Set[String]): DataFrame = {
@@ -61,32 +64,55 @@ object Export {
     val spuriousEntN = re.count() - correctEntN
     val missingEntN = ke.join(reDistinct, Seq("doc_id", "head_end"), "left_anti")
       .count()
-    // relation alignment: direct-order key + swapped-order key for
-    // symmetric predicates; response arg offsets must be aligned
-    // entity mentions to begin with (reference maps through
-    // entityAlignment — unaligned args can never match a key)
-    val kr = keyRels.select(col("doc_id"), col("pred").as("key_pred"),
-      col("a1_end"), col("a2_end")).distinct()
-    val rr = respRels.select(col("doc_id"), col("pred"), col("a1_end"),
-      col("a2_end")).distinct()
-    val direct = rr.join(kr, Seq("doc_id", "a1_end", "a2_end"))
-    val swapped = rr.filter(col("pred").isin(symmetricPreds.toSeq: _*))
-      .join(kr.select(col("doc_id"), col("key_pred"),
-          col("a2_end").as("a1_end"), col("a1_end").as("a2_end")),
-        Seq("doc_id", "a1_end", "a2_end"))
-    val matched = direct.unionByName(swapped)
-      .groupBy(col("doc_id"), col("pred"), col("a1_end"), col("a2_end"))
-      .agg(max((col("pred") === col("key_pred")).cast("int")).as("type_ok"))
-    val correctRelN = matched.filter(col("type_ok") === 1).count()
-    val typeErrN = matched.filter(col("type_ok") === 0).count()
-    val respN = rr.count()
-    val spuriousRelN = respN - correctRelN - typeErrN
-    val keyMatched = direct.select(col("doc_id"), col("a1_end"), col("a2_end"))
-      .unionByName(swapped.select(col("doc_id"),
-        col("a2_end").as("a1_end"), col("a1_end").as("a2_end")))
-      .distinct()
-    val missingRelN = kr.join(keyMatched, Seq("doc_id", "a1_end", "a2_end"),
-      "left_anti").count()
+    // Relation alignment with the reference's CONSUMPTION semantics
+    // (TypedRelationExtractorScorer.java:97-137): each key mention is
+    // consumed by at most one response (correct on pred agreement, type
+    // error otherwise); a response finding no unconsumed key is
+    // spurious; leftover keys are missing. Swap-order matching is
+    // allowed when the KEY predicate is symmetric. The reference scans
+    // keys in hash order — here the greedy is deterministic: same-pred
+    // pairs consume first, then arg-only pairs, both in sorted order.
+    // Distributed shape: all rows that can ever contend for each other
+    // share one (doc, unordered arg pair) group, so the greedy runs
+    // per-group after one shuffle — groups are a handful of rows.
+    val symB = spark.sparkContext.broadcast(symmetricPreds)
+    val krT = keyRels.select(col("doc_id"), col("pred"),
+        col("a1_end").cast("int"), col("a2_end").cast("int"))
+      .distinct().as[(String, String, Int, Int)]
+    val rrT = respRels.select(col("doc_id"), col("pred"),
+        col("a1_end").cast("int"), col("a2_end").cast("int"))
+      .as[(String, String, Int, Int)]
+    def gkey(t: (String, String, Int, Int)): (String, Int, Int) =
+      (t._1, math.min(t._3, t._4), math.max(t._3, t._4))
+    val groupCounts = krT.groupByKey(gkey)
+      .cogroup(rrT.groupByKey(gkey)) { (_, ks, rs) =>
+        val keys = scala.collection.mutable.ArrayBuffer
+          .from(ks.toSeq.sortBy(t => (t._2, t._3, t._4)))
+        val resps = rs.toSeq.sortBy(t => (t._2, t._3, t._4))
+        var correct = 0L; var typeErr = 0L; var spurious = 0L
+        def argsMatch(r: (String, String, Int, Int),
+                      k: (String, String, Int, Int)): Boolean =
+          (k._3 == r._3 && k._4 == r._4) ||
+            (symB.value.contains(k._2) && k._3 == r._4 && k._4 == r._3)
+        resps.foreach { r =>
+          val same = keys.indexWhere(k => k._2 == r._2 && argsMatch(r, k))
+          val idx = if (same >= 0) same else keys.indexWhere(k => argsMatch(r, k))
+          if (idx >= 0) {
+            if (keys(idx)._2 == r._2) correct += 1 else typeErr += 1
+            keys.remove(idx)
+          } else spurious += 1
+        }
+        Iterator((correct, typeErr, spurious, keys.length.toLong))
+      }
+    val rel = groupCounts.toDF("c", "t", "s", "m")
+      .agg(coalesce(sum(col("c")), lit(0L)), coalesce(sum(col("t")), lit(0L)),
+        coalesce(sum(col("s")), lit(0L)), coalesce(sum(col("m")), lit(0L)))
+      .first()
+    val correctRelN = rel.getLong(0)
+    val typeErrN = rel.getLong(1)
+    val spuriousRelN = rel.getLong(2)
+    val missingRelN = rel.getLong(3)
+    val respN = correctRelN + typeErrN + spuriousRelN
     val precision =
       if (respN == 0) 0.0 else correctRelN.toDouble / respN
     val keyN = correctRelN + typeErrN + missingRelN

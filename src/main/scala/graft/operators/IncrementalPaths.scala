@@ -34,15 +34,30 @@ object IncrementalPaths {
 
   /** MERGE: prior instances of clean docs + freshly mined instances of
     * dirty docs. Equal to a full recompute whenever the mining logic
-    * itself is unchanged (asserted in IncrementalPathsSpec). */
+    * itself is unchanged (asserted in IncrementalPathsSpec).
+    *
+    * "Dirty" covers BOTH change sources: docs whose tokens intersect
+    * the changed entity set, and docs present in `ann` but absent from
+    * `prior` (newly ingested since the cached commit — they have no
+    * cached rows to reuse). Symmetrically, prior rows survive only for
+    * docs still present in `ann`, so deletions don't leave stale
+    * instances behind — without both legs the merge diverges from a
+    * full recompute on any corpus that grew or shrank. */
   def mergeInstances(prior: Dataset[PathInstance],
                      ann: Dataset[AnnotatedDoc],
                      changedTokens: Set[String]): DataFrame = {
     val spark = ann.sparkSession
     import spark.implicits._
-    val dirty = dirtyDocs(ann, changedTokens)
-    val dirtyIds = dirty.map(_.doc_id).toDF("doc_id")
-    val kept = prior.toDF().join(broadcast(dirtyIds), Seq("doc_id"), "left_anti")
+    val tokDirtyIds = dirtyDocs(ann, changedTokens).map(_.doc_id).toDF("doc_id")
+    val priorIds = prior.toDF().select(col("doc_id")).distinct()
+    val newIds = ann.toDF().select(col("doc_id"))
+      .join(priorIds, Seq("doc_id"), "left_anti")
+    val dirtyIds = tokDirtyIds.union(newIds).distinct()
+    val dirty = ann.toDF().join(dirtyIds, Seq("doc_id"), "left_semi")
+      .as[AnnotatedDoc]
+    val kept = prior.toDF()
+      .join(broadcast(dirtyIds), Seq("doc_id"), "left_anti")
+      .join(ann.toDF().select(col("doc_id")), Seq("doc_id"), "left_semi")
     kept.unionByName(DepPathsStage.instances(dirty).toDF())
   }
 }

@@ -37,7 +37,7 @@ object TaggerStage {
                      seeds: Map[String, String]): Seq[RelationRule] = {
     import spark.implicits._
     val seedDf = seeds.toSeq.toDF("relName", "seedRepr")
-      .withColumn("seedRepr", lower(regexp_replace(col("seedRepr"), "\\s+", " ")))
+      .withColumn("seedRepr", lower(trim(regexp_replace(col("seedRepr"), "\\s+", " "))))
     // swap12 as a column expression: (1) <-> (2) via a placeholder
     val swapped = regexp_replace(regexp_replace(regexp_replace(
       col("repr"), "\\(1\\)", "(#)"), "\\(2\\)", "(1)"), "\\(#\\)", "(2)")
@@ -72,7 +72,7 @@ object TaggerStage {
     if (unresolved.isEmpty) return exactRules
     import spark.implicits._
     val seedDf = unresolved.toSeq.toDF("relName", "seedRepr")
-      .withColumn("seedRepr", lower(regexp_replace(col("seedRepr"), "\\s+", " ")))
+      .withColumn("seedRepr", lower(trim(regexp_replace(col("seedRepr"), "\\s+", " "))))
     val dist = udf((a: String, b: String) => Paths.editDistance(a, b))
     val scored = pathRepr.crossJoin(broadcast(seedDf))
       .select(col("relName"), col("type1"), col("path"), col("type2"),
@@ -89,34 +89,49 @@ object TaggerStage {
   }
 
   /** The broadcastable decode state: exact rule map + soft/neg rule
-    * lists (J7/J8). */
+    * lists (J7/J8) + the invert flag of each soft rule (keyed by
+    * (path key, relName) — the matched rule's identity, so swap12
+    * rules reached through the soft matcher still decode swapped).
+    * Rule paths go through the same simplification as candidates, so
+    * an externally-supplied rule carrying vch hops can exact-match the
+    * vch-free candidates this pipeline mines. */
   private def ruleState(rules: Seq[RelationRule])
       : (Map[(String, String, String), RelationRule],
-         Seq[(String, String)], Seq[(String, String)]) = {
+         Seq[(String, String)], Seq[(String, String)],
+         Map[(String, String), Boolean]) = {
     val pos = rules.filter(_.positive)
+      .map(r => r.copy(path = Paths.simplifyForTagging(r.path)))
     val exact = pos.map(r => (r.type1, r.path, r.type2) -> r).toMap
     val soft = pos.map(r => (s"${r.type1}--${r.path}--${r.type2}", r.relName))
+    val invertBy = pos.map(r =>
+      (s"${r.type1}--${r.path}--${r.type2}", r.relName) -> r.invert).toMap
     val neg = rules.filterNot(_.positive)
+      .map(r => r.copy(path = Paths.simplifyForTagging(r.path)))
       .map(r => (s"${r.type1}--${r.path}--${r.type2}", r.relName))
-    (exact, soft, neg)
+    (exact, soft, neg, invertBy)
   }
 
   /** Decode one candidate against the rule state: exact hash lookup
     * first, weighted-edit-distance soft match as fallback. Returns
-    * (relName, invert). */
+    * (relName, invert) — invert comes from the MATCHED rule on both
+    * paths, so a swap12-resolved rule keeps its orientation when it
+    * matches softly. */
   private def decode(c: PathInstance,
                      state: (Map[(String, String, String), RelationRule],
-                             Seq[(String, String)], Seq[(String, String)]),
+                             Seq[(String, String)], Seq[(String, String)],
+                             Map[(String, String), Boolean]),
                      wordSim: (String, String) => Double)
       : Option[(String, Boolean)] = {
-    val (exact, soft, neg) = state
+    val (exact, soft, neg, invertBy) = state
     val simplified = Paths.simplifyForTagging(c.path)
     exact.get((c.type1, simplified, c.type2)) match {
       case Some(r) => Some((r.relName, r.invert))
       case None =>
-        Paths.softMatch(s"${c.type1}--$simplified--${c.type2}", soft, neg,
-            wordSim)
-          .map(rel => (rel, false))
+        Paths.softMatchWithKey(s"${c.type1}--$simplified--${c.type2}", soft,
+            neg, wordSim)
+          .map { case (key, rel) =>
+            (rel, invertBy.getOrElse((key, rel), false))
+          }
     }
   }
 

@@ -47,4 +47,19 @@ class IncrementalPathsSpec extends SparkSpec {
       .as[graft.core.PathInstance].collect()
     assert(merged.filter(_.doc_id == cleanId).forall(_.path == "POISON"))
   }
+
+  test("grown and shrunk corpora still merge to a full recompute") {
+    // prior was committed over the first 150 docs; the corpus then
+    // gained 50 docs (new in ann, no cached rows) and lost 10 (in
+    // prior, gone from ann) — merge must equal a fresh full mine of ann
+    val annNow = Preprocess.annotate(
+      spark.createDataset(docs.filterNot(d => d.doc_id.toLong < 10)))
+    val prior = DepPathsStage.instances(Preprocess.annotate(
+      spark.createDataset(docs.filter(_.doc_id.toLong < 150))))
+    val merged = IncrementalPaths.mergeInstances(prior, annNow, Set("chicago"))
+    val full = DepPathsStage.instances(annNow)
+    val a = full.toDF().collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val b = merged.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(a === b)
+  }
 }

@@ -40,4 +40,34 @@ class ScorerSpec extends SparkSpec {
     assert(row.getAs[Double]("recall") === 0.5)
     assert(row.getAs[Double]("f1") === 0.5)
   }
+
+  test("scorer consumption: a key is consumed once; extras are spurious, not type errors") {
+    val ents = Seq(("d", 5), ("d", 9)).toDF("doc_id", "head_end")
+    // one key relation, two responses on the same arg pair: the
+    // same-pred response consumes the key (correct); the second finds
+    // no unconsumed key -> SPURIOUS (reference remove-on-match, not a
+    // type error), so recall is 1.0
+    val keyRels = Seq(("d", "livesIn", 5, 9)).toDF("doc_id", "pred", "a1_end", "a2_end")
+    val respRels = Seq(("d", "livesIn", 5, 9), ("d", "worksIn", 5, 9))
+      .toDF("doc_id", "pred", "a1_end", "a2_end")
+    val r1 = Export.scoreMentions(ents, ents, keyRels, respRels, Set.empty)
+      .collect().head
+    assert(r1.getAs[Long]("correct_rels") === 1)
+    assert(r1.getAs[Long]("type_errors") === 0)
+    assert(r1.getAs[Long]("spurious_rels") === 1)
+    assert(r1.getAs[Long]("missing_rels") === 0)
+    assert(r1.getAs[Double]("recall") === 1.0)
+    // two key relations on the same pair, one response: the same-pred
+    // key is consumed (correct); the other key stays MISSING, recall 0.5
+    val keyRels2 = Seq(("d", "livesIn", 5, 9), ("d", "worksIn", 5, 9))
+      .toDF("doc_id", "pred", "a1_end", "a2_end")
+    val respRels2 = Seq(("d", "livesIn", 5, 9))
+      .toDF("doc_id", "pred", "a1_end", "a2_end")
+    val r2 = Export.scoreMentions(ents, ents, keyRels2, respRels2, Set.empty)
+      .collect().head
+    assert(r2.getAs[Long]("correct_rels") === 1)
+    assert(r2.getAs[Long]("type_errors") === 0)
+    assert(r2.getAs[Long]("missing_rels") === 1)
+    assert(r2.getAs[Double]("recall") === 0.5)
+  }
 }
