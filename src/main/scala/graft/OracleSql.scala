@@ -10,8 +10,10 @@ import graft.sources.Gen
   */
 object OracleSql {
 
+  // SQL-escape the pool values: a future pool entry with an apostrophe
+  // ("Coeur d'Alene") must not break every generated oracle query
   private def sqlList(xs: Seq[String]): String =
-    xs.map(x => s"'$x'").mkString("[", ",", "]")
+    xs.map(x => s"'${x.replace("'", "''")}'").mkString("[", ",", "]")
 
   private val personsL = sqlList(Gen.persons)
   private val gpesL = sqlList(Gen.gpes)

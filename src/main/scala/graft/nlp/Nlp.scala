@@ -560,12 +560,16 @@ object Nlp {
     var start = 0
     var i = 0
     while (i < text.length) {
+      // boundary: '.' followed by ANY whitespace (newline/tab-separated
+      // sentences must split too, or the one-clause parser mis-analyzes
+      // the merged clauses) or end of text
       if (text.charAt(i) == '.' &&
-          (i + 1 >= text.length || text.charAt(i + 1) == ' ')) {
+          (i + 1 >= text.length || Character.isWhitespace(text.charAt(i + 1)))) {
         val s = text.substring(start, i + 1)
         if (s.trim.nonEmpty) out += ((s.trim, start))
         start = i + 1
-        while (start < text.length && text.charAt(start) == ' ') start += 1
+        while (start < text.length && Character.isWhitespace(text.charAt(start)))
+          start += 1
         i = start
       } else i += 1
     }

@@ -32,15 +32,20 @@ object EventsStage {
       d.sentences.flatMap { s =>
         val typeOfTok: Map[Int, String] =
           s.names.flatMap(n => (n.tokStart until n.tokEnd).map(_ -> n.etype)).toMap
-        // group arcs by governing verb token
-        val byVerb = s.deps.filter(_.srcTag.startsWith("VB")).groupBy(_.srcPos)
+        // group arcs by governing verb token, over the TRANSFORMED
+        // parse (vch chains collapsed onto the main verb, as in
+        // DepPathsStage): on the raw parse an auxiliary-chained clause
+        // splits nsubj (on the aux) from dobj (on the main verb) across
+        // two groups and 'has visited'-style events are never emitted
+        val deps = Nlp.transform(s.deps.toVector)
+        val byVerb = deps.filter(_.srcTag.startsWith("VB")).groupBy(_.srcPos)
         byVerb.toSeq.sortBy(_._1).flatMap { case (v, arcs) =>
           val roleArcs = arcs.flatMap { a =>
             a.dep match {
               case "nsubj" | "dobj" | "iobj" => Some((a.dep, a))
               case "prep" =>
                 // collapse prep+pobj to prep_<p> (IceTree.java:355-371)
-                s.deps.find(p => p.dep == "pobj" && p.srcPos == a.tgtPos)
+                deps.find(p => p.dep == "pobj" && p.srcPos == a.tgtPos)
                   .map(p => (s"prep_${a.tgtWord.toLowerCase}", p))
               case _ => None
             }

@@ -29,6 +29,27 @@ class CosineSimSpec extends SparkSpec {
     }
   }
 
+  test("malformed pairs yield NULL: length mismatch and null elements") {
+    // codegen path
+    val mismatch = Seq((Seq(1.0, 0.0, 0.9), Seq(1.0))).toDF("a", "b")
+      .select(cosineSim(col("a"), col("b")).as("c"))
+    assert(mismatch.collect().head.isNullAt(0))
+    // null element (array<double> with containsNull)
+    val nullElem = spark.range(1)
+      .select(cosineSim(array(lit(1.0), lit(null).cast("double")),
+        array(lit(1.0), lit(5.0))).as("c"))
+    assert(nullElem.collect().head.isNullAt(0))
+    // interpreted path (eval without codegen): force via expression eval
+    val e = graft.plans.CosineSim(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0, 2.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    assert(e.eval(null) == null)
+  }
+
   test("stays inside whole-stage codegen (no serialization boundary)") {
     val df = spark.range(8)
       .select(array(col("id").cast("double"), lit(1.0)).as("a"),

@@ -19,6 +19,15 @@ class NlpGoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("splitSentences: newline/tab separators split like spaces") {
+    val got = Nlp.splitSentences(
+      "Fred Smith visited Boston.\nMary Jones visited Denver.\tA third one.")
+    assert(got.map(_._1) === Vector("Fred Smith visited Boston.",
+      "Mary Jones visited Denver.", "A third one."))
+    // offsets point at each sentence's first character
+    assert(got.map(_._2) === Vector(0, 27, 54))
+  }
+
   test("'Fred Smith visited Chicago.' -> nsubj-1:visit:dobj (DepPathsTest.java:55)") {
     assert(pathOf("Fred Smith visited Chicago.").contains("nsubj-1:visit:dobj"))
   }

@@ -45,6 +45,15 @@ class StagesSpec extends SparkSpec {
     assert(ev.head.key === "mention nsubj:budget dobj:report")
   }
 
+  test("event extraction: aux-chained transitive clause yields the main-verb event") {
+    // raw parse: vch(has->visited), nsubj on the AUX, dobj on the main
+    // verb — only the transformed parse unites the two roles
+    val docs = spark.createDataset(Seq(
+      IceDoc("ax1", Seq(SpanT("text", "Fred Smith has visited Chicago.", "", 0)))))
+    val ev = EventsStage.events(Preprocess.annotate(docs)).collect()
+    assert(ev.map(_.key).toSeq === Seq("visit nsubj:PERSON dobj:GPE"))
+  }
+
   test("event extraction: typed args use entity types; prep-only verbs excluded") {
     val docs = spark.createDataset(Seq(
       IceDoc("e2", Seq(SpanT("text", "Fred Smith visited Chicago.", "", 0))),
