@@ -327,40 +327,38 @@ object OracleSql {
        |  FROM d2 WHERE id % 12 = 6
        |) GROUP BY 1, 2""".stripMargin
 
-  val kgEntityIndex: String =
-    s"""$fillerCte,
-       |ev AS (
+  // Shared PMI index chain (A6/A7): ev → cells → marginals → idx. One
+  // source of truth for the PMI formula — kgEntityIndex /
+  // kgEntityExpansion / kgEntityExpansionFiltered previously inlined
+  // three copies, and a threshold/rounding change had to be
+  // hand-synchronized across them. `cellsSql` supplies the cells CTE(s)
+  // (plain count, or the F10 total-count cut).
+  private def pmiIdxCtes(cellsSql: String): String =
+    s"""ev AS (
        |  SELECT n1 AS term, 'nsubj-1_' || fvl AS context FROM f
        |  UNION ALL SELECT n2, 'dobj-1_' || fvl FROM f
        |),
-       |cells AS (SELECT term, context, count(*) AS cnt FROM ev GROUP BY 1,2),
-       |rt AS (SELECT term, sum(cnt) AS row_total FROM cells GROUP BY 1),
-       |ct AS (SELECT context, sum(cnt) AS ctx_total FROM cells GROUP BY 1),
-       |n AS (SELECT sum(cnt) AS n FROM cells)
-       |SELECT c.term, c.context, c.cnt,
-       |       round(ln(c.cnt / rt.row_total / (ct.ctx_total / n.n)), 6) AS pmi
-       |FROM cells c, rt, ct, n
-       |WHERE c.term = rt.term AND c.context = ct.context
-       |  AND round(ln(c.cnt / rt.row_total / (ct.ctx_total / n.n)), 6) > 0.1""".stripMargin
-
-  val kgEntityExpansion: String = {
-    val seeds = s"'${Gen.fillNouns(0)}','${Gen.fillNouns(1)}'"
-    s"""$fillerCte,
-       |ev AS (
-       |  SELECT n1 AS term, 'nsubj-1_' || fvl AS context FROM f
-       |  UNION ALL SELECT n2, 'dobj-1_' || fvl FROM f
-       |),
-       |cells AS (SELECT term, context, count(*) AS cnt FROM ev GROUP BY 1,2),
+       |$cellsSql,
        |rt AS (SELECT term, sum(cnt) AS row_total FROM cells GROUP BY 1),
        |ct AS (SELECT context, sum(cnt) AS ctx_total FROM cells GROUP BY 1),
        |n AS (SELECT sum(cnt) AS n FROM cells),
        |idx AS (
-       |  SELECT c.term, c.context,
+       |  SELECT c.term, c.context, c.cnt,
        |         round(ln(c.cnt / rt.row_total / (ct.ctx_total / n.n)), 6) AS pmi
        |  FROM cells c, rt, ct, n
        |  WHERE c.term = rt.term AND c.context = ct.context
        |    AND round(ln(c.cnt / rt.row_total / (ct.ctx_total / n.n)), 6) > 0.1
-       |),
+       |)""".stripMargin
+
+  private val plainCells =
+    "cells AS (SELECT term, context, count(*) AS cnt FROM ev GROUP BY 1,2)"
+
+  /** A12 centroid-cosine expansion over the shared idx chain; trailing
+    * filters carry the F9 exclusions. */
+  private def expansionSql(cellsSql: String, extraFilters: String): String = {
+    val seeds = s"'${Gen.fillNouns(0)}','${Gen.fillNouns(1)}'"
+    s"""$fillerCte,
+       |${pmiIdxCtes(cellsSql)},
        |cen AS (SELECT context, sum(pmi) AS w FROM idx
        |        WHERE term IN ($seeds) GROUP BY 1),
        |np AS (SELECT sqrt(sum(w*w)) AS norm_p FROM cen),
@@ -372,50 +370,29 @@ object OracleSql {
        |  GROUP BY 1
        |)
        |SELECT pt.term, round(pt.dot_pos / pt.norm / np.norm_p, 6) AS score
-       |FROM pt, np WHERE pt.term NOT IN ($seeds)""".stripMargin
+       |FROM pt, np WHERE pt.term NOT IN ($seeds)$extraFilters""".stripMargin
   }
+
+  val kgEntityIndex: String =
+    s"""$fillerCte,
+       |${pmiIdxCtes(plainCells)}
+       |SELECT term, context, cnt, pmi FROM idx""".stripMargin
+
+  val kgEntityExpansion: String = expansionSql(plainCells, "")
 
   /** F9/F10-filtered expansion: the index is cut to terms with total
     * count > 100 (dropping every dobj-side noun on this corpus, so the
     * centroid comes from the surviving seed alone), marginals/N are
     * recomputed over the kept cells, and the F9 seed-candidate
     * exclusions apply to the ranked output. */
-  val kgEntityExpansionFiltered: String = {
-    val seeds = s"'${Gen.fillNouns(0)}','${Gen.fillNouns(1)}'"
-    s"""$fillerCte,
-       |ev AS (
-       |  SELECT n1 AS term, 'nsubj-1_' || fvl AS context FROM f
-       |  UNION ALL SELECT n2, 'dobj-1_' || fvl FROM f
-       |),
-       |cells0 AS (SELECT term, context, count(*) AS cnt FROM ev GROUP BY 1,2),
-       |kept AS (SELECT term FROM cells0 GROUP BY 1 HAVING sum(cnt) > 100),
-       |cells AS (SELECT c.* FROM cells0 c JOIN kept k ON c.term = k.term),
-       |rt AS (SELECT term, sum(cnt) AS row_total FROM cells GROUP BY 1),
-       |ct AS (SELECT context, sum(cnt) AS ctx_total FROM cells GROUP BY 1),
-       |n AS (SELECT sum(cnt) AS n FROM cells),
-       |idx AS (
-       |  SELECT c.term, c.context,
-       |         round(ln(c.cnt / rt.row_total / (ct.ctx_total / n.n)), 6) AS pmi
-       |  FROM cells c, rt, ct, n
-       |  WHERE c.term = rt.term AND c.context = ct.context
-       |    AND round(ln(c.cnt / rt.row_total / (ct.ctx_total / n.n)), 6) > 0.1
-       |),
-       |cen AS (SELECT context, sum(pmi) AS w FROM idx
-       |        WHERE term IN ($seeds) GROUP BY 1),
-       |np AS (SELECT sqrt(sum(w*w)) AS norm_p FROM cen),
-       |pt AS (
-       |  SELECT i.term,
-       |         sum(i.pmi * coalesce(cen.w, 0)) AS dot_pos,
-       |         sqrt(sum(i.pmi * i.pmi)) AS norm
-       |  FROM idx i LEFT JOIN cen ON i.context = cen.context
-       |  GROUP BY 1
-       |)
-       |SELECT pt.term, round(pt.dot_pos / pt.norm / np.norm_p, 6) AS score
-       |FROM pt, np WHERE pt.term NOT IN ($seeds)
-       |  AND pt.term NOT LIKE '%tion' AND pt.term NOT LIKE '%ment'
-       |  AND pt.term NOT LIKE 'www.%' AND pt.term NOT LIKE 'http%'
-       |  AND pt.term NOT LIKE '%@%'""".stripMargin
-  }
+  val kgEntityExpansionFiltered: String = expansionSql(
+    """cells0 AS (SELECT term, context, count(*) AS cnt FROM ev GROUP BY 1,2),
+      |kept AS (SELECT term FROM cells0 GROUP BY 1 HAVING sum(cnt) > 100),
+      |cells AS (SELECT c.* FROM cells0 c JOIN kept k ON c.term = k.term)""".stripMargin,
+    """
+      |  AND pt.term NOT LIKE '%tion' AND pt.term NOT LIKE '%ment'
+      |  AND pt.term NOT LIKE 'www.%' AND pt.term NOT LIKE 'http%'
+      |  AND pt.term NOT LIKE '%@%'""".stripMargin)
 
   val kgTermRank: String =
     s"""$termsCte,
