@@ -21,26 +21,39 @@ object DataQueries {
 
   /** Stage events.parquet into a fresh temp directory for a file-stream
     * read (readStream needs a directory containing only the streamed
-    * table). Handles both single-file and directory-style parquet, and
-    * registers everything deleteOnExit so repeated Bench/Verify runs
-    * don't accumulate copies in /tmp. */
+    * table). A single-file parquet is copied as-is; a directory-style
+    * parquet (Spark-written part files) has its data files copied FLAT
+    * into the temp root — readStream lists only direct children, so a
+    * nested `tempdir/events.parquet/part-*` layout would stream zero
+    * rows. Everything registers deleteOnExit so repeated Bench/Verify
+    * runs don't accumulate copies in /tmp. */
   private def stageStreamInput(d: String, prefix: String): java.nio.file.Path = {
     import java.nio.file.{Files, Path, Paths}
     val src = Paths.get(s"$d/events.parquet")
     val dir = Files.createTempDirectory(prefix)
     dir.toFile.deleteOnExit()
-    def copyInto(from: Path, to: Path): Unit = {
+    def cp(from: Path, to: Path): Unit = {
       Files.copy(from, to)
       to.toFile.deleteOnExit()
-      if (Files.isDirectory(from)) {
-        val it = Files.list(from).iterator()
-        while (it.hasNext) {
-          val c = it.next()
-          copyInto(c, to.resolve(c.getFileName))
-        }
-      }
     }
-    copyInto(src, dir.resolve("events.parquet"))
+    if (Files.isDirectory(src)) {
+      // flatten data files (skip _SUCCESS/_metadata and dot files);
+      // name by index to avoid collisions across partition subdirs
+      val stream = Files.walk(src)
+      try {
+        var i = 0
+        val it = stream.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val name = p.getFileName.toString
+          if (Files.isRegularFile(p) && !name.startsWith("_") &&
+              !name.startsWith(".")) {
+            cp(p, dir.resolve(f"part-$i%05d.parquet"))
+            i += 1
+          }
+        }
+      } finally stream.close()
+    } else cp(src, dir.resolve("events.parquet"))
     dir
   }
 

@@ -30,6 +30,9 @@ object Dedup {
     * semantics), used where the gram set can stay inside a narrow
     * map-side pass instead of being exploded and shuffled. */
   def gramSet(text: String, n: Int = 3): Seq[String] = {
+    // null text → no grams (the column pipeline null-propagated; a
+    // UDF caller must not NPE on a nullable text column)
+    if (text == null) return Seq.empty
     val ws = text.trim.split("\\s+")
     if (ws.length < n) Seq.empty
     else (0 to ws.length - n).map(i => ws.slice(i, i + n).mkString(" ")).distinct
@@ -238,14 +241,18 @@ object Dedup {
     // persisted: consumed twice (candidate-doc id list + verify join)
     val cand = simhashPairs(docs, maxDist).select(col("ida"), col("idb"))
       .persist()
-    // grams are computed map-side and exploded ONLY for candidate docs
-    // (see minhashLsh — same verify shape, no full-corpus gram shuffle)
+    // grams are computed and exploded ONLY for candidate docs: the id
+    // join runs BELOW the gram UDF (Catalyst cannot push a join under a
+    // UDF projection itself), so at scale the n-gram pass touches the
+    // near-dup candidate fraction, not the corpus — unlike minhashLsh,
+    // which needs every doc's signature, simhash's signatures come from
+    // simhashPairs and the verify side can defer gram building entirely
     val ids = cand.select(explode(array(col("ida"), col("idb"))).as("doc_id"))
       .distinct()
     val gramsUdf = udf((t: String) => gramSet(t, n))
-    val candG = docs.select(col("doc_id"), gramsUdf(col("text")).as("grams"))
-      .filter(size(col("grams")) > 0)
-      .join(ids, "doc_id").persist()
+    val candG = docs.join(ids, "doc_id")
+      .select(col("doc_id"), gramsUdf(col("text")).as("grams"))
+      .filter(size(col("grams")) > 0).persist()
     val sizes = candG.select(col("doc_id"), size(col("grams")).cast("long").as("sz"))
     val ex = candG.select(col("doc_id"), explode(col("grams")).as("gram"))
     val shared = ex.select(col("doc_id").as("ida"), col("gram"))

@@ -84,12 +84,23 @@ object Nlp {
       }
       // Porter 1b cleanup of a stripped -ed/-ing stem: collapse a
       // doubled final consonant, OR restore the elided base-form 'e'
-      // (mutually exclusive branches, as in the reference algorithm)
+      // (mutually exclusive branches, as in the reference algorithm).
+      // The raw Porter AT→ATE post-rule is NOT transplanted verbatim:
+      // Porter later strips that e again in step 5, but this function
+      // must return the BASE FORM, and unconditional +e after "at"
+      // splits -eat/-at verbs ("treated"→"treate" vs "treats"→"treat").
+      // So "at" restores e only after a consonant or 'i' ("generat"→
+      // generate, "associat"→associate) and never after another vowel
+      // ("treat", "float", "heat" stay e-less; the known miss is the
+      // small vowel+ate class: "creat"→create is not restored).
       def fixStem(s: String): String =
         if (s.length >= 3 && s.last == s(s.length - 2) &&
             !"aeiouz".contains(s.last) && s.last != 'l' && s.last != 's')
           s.dropRight(1)
-        else if (s.endsWith("at") || s.endsWith("bl") || s.endsWith("iz"))
+        else if (s.length >= 3 && s.endsWith("at") &&
+                 (!vowel(s, s.length - 3) || s(s.length - 3) == 'i'))
+          s + "e"
+        else if (s.endsWith("bl") || s.endsWith("iz"))
           s + "e"
         else if (s.length >= 3 && !vowel(s, s.length - 1) &&
                  "wxy".indexOf(s.last) < 0 && vowel(s, s.length - 2) &&

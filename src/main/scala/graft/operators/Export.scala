@@ -76,9 +76,12 @@ object Export {
     // share one (doc, unordered arg pair) group, so the greedy runs
     // per-group after one shuffle — groups are a handful of rows.
     val symB = spark.sparkContext.broadcast(symmetricPreds)
+    // no distinct on EITHER side: the reference iterates mention
+    // objects, so two key mentions sharing (pred, offsets) are two
+    // consumable keys, symmetric with duplicate responses
     val krT = keyRels.select(col("doc_id"), col("pred"),
         col("a1_end").cast("int"), col("a2_end").cast("int"))
-      .distinct().as[(String, String, Int, Int)]
+      .as[(String, String, Int, Int)]
     val rrT = respRels.select(col("doc_id"), col("pred"),
         col("a1_end").cast("int"), col("a2_end").cast("int"))
       .as[(String, String, Int, Int)]

@@ -92,5 +92,12 @@ class EntityFiltersSpec extends SparkSpec {
     // Porter keeps -ll/-ss/-zz doubled, so base and inflection agree
     assert(Nlp.lemmaVerb("buzzed") === "buzz")
     assert(Nlp.lemmaVerb("buzz") === "buzz")
+    // -at restoration only after consonant/'i': -eat/-at verbs keep
+    // their e-less base so inflections merge with the -s strip
+    assert(Nlp.lemmaVerb("treated") === "treat")
+    assert(Nlp.lemmaVerb("treats") === "treat")
+    assert(Nlp.lemmaVerb("heating") === "heat")
+    assert(Nlp.lemmaVerb("floated") === "float")
+    assert(Nlp.lemmaVerb("associated") === "associate")
   }
 }
