@@ -70,4 +70,56 @@ class ScorerSpec extends SparkSpec {
     assert(r2.getAs[Long]("missing_rels") === 1)
     assert(r2.getAs[Double]("recall") === 0.5)
   }
+
+  test("property: distributed consumption equals the driver-side greedy on random instances") {
+    // driver-side port of the same consumption loop (the reference's
+    // remove-on-match with the deterministic same-pred preference) run
+    // GLOBALLY — equality proves the per-(doc, unordered-pair) cogroup
+    // decomposition loses no rows and groups the symmetric swaps right
+    type R = (String, String, Int, Int)
+    def global(keys0: Seq[R], resps: Seq[R],
+               sym: Set[String]): (Long, Long, Long, Long) = {
+      def gk(t: R) = (t._1, math.min(t._3, t._4), math.max(t._3, t._4))
+      val keys = scala.collection.mutable.ArrayBuffer.from(
+        keys0.sortBy(t => (gk(t), t._2, t._3, t._4)))
+      var c = 0L; var te = 0L; var sp = 0L
+      def am(r: R, k: R) = k._1 == r._1 &&
+        ((k._3 == r._3 && k._4 == r._4) ||
+          (sym(k._2) && k._3 == r._4 && k._4 == r._3))
+      resps.sortBy(t => (gk(t), t._2, t._3, t._4)).foreach { r =>
+        val same = keys.indexWhere(k => k._2 == r._2 && am(r, k))
+        val idx = if (same >= 0) same else keys.indexWhere(k => am(r, k))
+        if (idx >= 0) {
+          if (keys(idx)._2 == r._2) c += 1 else te += 1
+          keys.remove(idx)
+        } else sp += 1
+      }
+      (c, te, sp, keys.length.toLong)
+    }
+    val rnd = new scala.util.Random(7)
+    val preds = Seq("a", "b", "c")
+    for (trial <- 1 to 25) {
+      val sym: Set[String] = if (trial % 2 == 0) Set("b") else Set.empty
+      def row(): (String, String, Int, Int) =
+        (s"d${rnd.nextInt(2)}", preds(rnd.nextInt(3)),
+          1 + rnd.nextInt(3), 1 + rnd.nextInt(3))
+      val keys = Seq.fill(1 + rnd.nextInt(8))(row())
+      val resps = Seq.fill(1 + rnd.nextInt(8))(row())
+      val ents = (for (d <- 0 to 1; o <- 1 to 3) yield (s"d$d", o))
+        .toDF("doc_id", "head_end")
+      val got = Export.scoreMentions(ents, ents,
+        keys.toDF("doc_id", "pred", "a1_end", "a2_end"),
+        resps.toDF("doc_id", "pred", "a1_end", "a2_end"), sym)
+        .collect().head
+      val (c, te, sp, m) = global(keys, resps, sym)
+      val label = s"trial $trial keys=$keys resps=$resps sym=$sym"
+      assert(got.getAs[Long]("correct_rels") === c, label)
+      assert(got.getAs[Long]("type_errors") === te, label)
+      assert(got.getAs[Long]("spurious_rels") === sp, label)
+      assert(got.getAs[Long]("missing_rels") === m, label)
+      // conservation: every response and every key lands in one bucket
+      assert(c + te + sp === resps.length.toLong, label)
+      assert(c + te + m === keys.length.toLong, label)
+    }
+  }
 }
