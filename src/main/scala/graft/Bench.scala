@@ -12,16 +12,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Verify/ScalingBench: timestamp queries must not do
+      // host-timezone-dependent work under spark-submit (build.sbt only
+      // injects the -D for sbt-forked runs)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => " "
-        case c => c.toString
-      } + "\""
+    def jstr(s: String): String = graft.core.JsonUtil.str(s)
     // untimed warmup: JIT + codegen + parquet reader init, so the first
     // timed query doesn't absorb ~5s of JVM warmup
     try {
@@ -31,8 +29,11 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
+      // NonFatal only: an OOM/LinkageError must abort the run — timings
+      // recorded after a fatal error in this JVM would be garbage that
+      // looks legitimate
       try fn(spark, sfDir).count()
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         System.err.println(s"[bench] $name FAILED: $e")
       }
@@ -49,7 +50,7 @@ object Bench {
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"err_count":${errors.size},"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"err_count":${errors.size},"errors":$errs,"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

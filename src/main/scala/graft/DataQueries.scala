@@ -22,38 +22,49 @@ object DataQueries {
   /** Stage events.parquet into a fresh temp directory for a file-stream
     * read (readStream needs a directory containing only the streamed
     * table). A single-file parquet is copied as-is; a directory-style
-    * parquet (Spark-written part files) has its data files copied FLAT
-    * into the temp root — readStream lists only direct children, so a
-    * nested `tempdir/events.parquet/part-*` layout would stream zero
-    * rows. Everything registers deleteOnExit so repeated Bench/Verify
-    * runs don't accumulate copies in /tmp. */
+    * parquet has its CHILDREN copied into the temp root — part files
+    * land as direct children (readStream lists only those; a nested
+    * `tempdir/events.parquet/part-*` layout would stream zero rows)
+    * while `col=value` partition subdirectories keep their names and
+    * relative structure, so partition-column discovery still works.
+    * Everything registers deleteOnExit so repeated Bench/Verify runs
+    * don't accumulate copies in /tmp. */
   private def stageStreamInput(d: String, prefix: String): java.nio.file.Path = {
     import java.nio.file.{Files, Path, Paths}
     val src = Paths.get(s"$d/events.parquet")
     val dir = Files.createTempDirectory(prefix)
     dir.toFile.deleteOnExit()
-    def cp(from: Path, to: Path): Unit = {
-      Files.copy(from, to)
-      to.toFile.deleteOnExit()
+    def copyTree(from: Path, to: Path): Unit = {
+      if (Files.isDirectory(from)) {
+        Files.createDirectories(to)
+        to.toFile.deleteOnExit()
+        val stream = Files.list(from)
+        try {
+          val it = stream.iterator()
+          while (it.hasNext) {
+            val c = it.next()
+            val name = c.getFileName.toString
+            if (!name.startsWith("_") && !name.startsWith("."))
+              copyTree(c, to.resolve(name))
+          }
+        } finally stream.close()
+      } else {
+        Files.copy(from, to)
+        to.toFile.deleteOnExit()
+      }
     }
     if (Files.isDirectory(src)) {
-      // flatten data files (skip _SUCCESS/_metadata and dot files);
-      // name by index to avoid collisions across partition subdirs
-      val stream = Files.walk(src)
+      val stream = Files.list(src)
       try {
-        var i = 0
         val it = stream.iterator()
         while (it.hasNext) {
-          val p = it.next()
-          val name = p.getFileName.toString
-          if (Files.isRegularFile(p) && !name.startsWith("_") &&
-              !name.startsWith(".")) {
-            cp(p, dir.resolve(f"part-$i%05d.parquet"))
-            i += 1
-          }
+          val c = it.next()
+          val name = c.getFileName.toString
+          if (!name.startsWith("_") && !name.startsWith("."))
+            copyTree(c, dir.resolve(name))
         }
       } finally stream.close()
-    } else cp(src, dir.resolve("events.parquet"))
+    } else copyTree(src, dir.resolve("events.parquet"))
     dir
   }
 

@@ -14,7 +14,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+      GraftExtensions.cosineSimBuilder))
+  }
+}
+
+object GraftExtensions {
+  /** The registry builder (shared with tests): wrong arity surfaces as
+    * Spark's standard wrong-number-of-arguments AnalysisException, not
+    * an IndexOutOfBoundsException out of the lambda. */
+  val cosineSimBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => CosineSim(a, b)
+    case children => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> "cosine_sim",
+        "expectedNum" -> "2",
+        "actualNum" -> children.length.toString,
+        "docroot" -> ""))
   }
 }
 

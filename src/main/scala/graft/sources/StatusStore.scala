@@ -19,7 +19,17 @@ object StatusStore {
 
   private def quote(s: String): String =
     if (s.isEmpty || s.exists(c => ":#-\"'".contains(c) || c.isWhitespace))
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      // control chars escape to \n/\r/\t — a literal newline inside a
+      // quoted scalar would split the line-based parse and silently
+      // corrupt the value on reload
+      "\"" + s.flatMap {
+        case '\\' => "\\\\"
+        case '"'  => "\\\""
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c => c.toString
+      } + "\""
     else s
 
   private def unquote(s: String): String = {
@@ -30,8 +40,15 @@ object StatusStore {
       val sb = new StringBuilder
       var i = 0
       while (i < body.length) {
-        if (body(i) == '\\' && i + 1 < body.length) { sb.append(body(i + 1)); i += 2 }
-        else { sb.append(body(i)); i += 1 }
+        if (body(i) == '\\' && i + 1 < body.length) {
+          sb.append(body(i + 1) match {
+            case 'n' => '\n'
+            case 'r' => '\r'
+            case 't' => '\t'
+            case c => c
+          })
+          i += 2
+        } else { sb.append(body(i)); i += 1 }
       }
       sb.toString
     } else t
@@ -112,7 +129,10 @@ object StatusStore {
             relations += current -> (relations(current) :+ v)
           case _ =>
         }
-      } else if (indent == 4 && t.contains(':')) {
+      } else if (indent == 4 && t.contains(':') &&
+                 section == "corpora" && corpora.contains(current)) {
+        // section-guarded: a colon-bearing line in a hand-edited file's
+        // other sections must not crash load() on corpora(current)
         val (k, v) = splitProp(t)
         corpora += current -> (corpora(current) + (k -> v))
       }

@@ -106,13 +106,7 @@ final class TableIO(spark: SparkSession, root: String) {
   // manifest strings are interpolated into JSON: escape them (a table
   // name or metric key with a quote/backslash must not produce an
   // unparseable manifest)
-  private def jstr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def jstr(s: String): String = graft.core.JsonUtil.str(s)
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

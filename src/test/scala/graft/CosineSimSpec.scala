@@ -83,11 +83,16 @@ class CosineSimSpec extends SparkSpec {
       new FunctionIdentifier("cosine_sim"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.plans.CosineSim].getName, "cosine_sim"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.plans.CosineSim(children(0), children(1)))
+      graft.plans.GraftExtensions.cosineSimBuilder)
     val v = spark.sql(
       "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
       .as[Double].collect().head
     assert(math.abs(v - 1.0) < 1e-12)
+    // wrong arity: a descriptive AnalysisException, not an
+    // IndexOutOfBoundsException from the builder lambda
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_sim(array(1.0d))").collect()
+    }
+    assert(err.getMessage.contains("cosine_sim"))
   }
 }

@@ -68,6 +68,21 @@ class EntityFiltersSpec extends SparkSpec {
       .resolve("ice.yml").toString
     StatusStore.save(path2, tricky)
     assert(StatusStore.load(path2) === tricky)
+    // control chars in values escape and round-trip (a literal newline
+    // in a quoted scalar would split the line-based parse)
+    val ctrl = IceStatus(
+      corpora = Map("c" -> Map("note" -> "line1\nline2\tend")),
+      entitySets = Map("s" -> Seq("a\nb", "plain")))
+    val path3 = java.nio.file.Files.createTempDirectory("graft-status3")
+      .resolve("ice.yml").toString
+    StatusStore.save(path3, ctrl)
+    assert(StatusStore.load(path3) === ctrl)
+    // a colon line in a non-corpora section parses without crashing
+    val handEdited = "entitySets:\n  s:\n    x: y\n"
+    val path4 = java.nio.file.Files.createTempDirectory("graft-status4")
+      .resolve("ice.yml")
+    java.nio.file.Files.writeString(path4, handEdited)
+    assert(StatusStore.load(path4.toString).entitySets === Map("s" -> Vector()))
   }
 
   test("verb-lemma fallback strips inflections without touching lexicon verbs") {
