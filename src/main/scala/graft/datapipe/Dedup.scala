@@ -81,24 +81,26 @@ object Dedup {
 
   val NumHashes = 96
   val Bands = 32 // 3 rows per band; detect prob at j=0.8 ≈ 1 - 1e-10
-  private val Prime = 2305843009213693951L // 2^61 - 1
+  // 2^31 - 1 (Mersenne). The modulus must be small enough that
+  // a * (x % Prime) + b stays inside a signed 64-bit long:
+  // (2^31-2)^2 + 2^31 < 2^62 — genuinely overflow-free, unlike a
+  // 61-bit modulus whose a*x product would wrap at 2^63.
+  private val Prime = 2147483647L
   private val hashParams: Array[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(NumHashes)((math.abs(rnd.nextLong()) % Prime + 1,
-      math.abs(rnd.nextLong()) % Prime))
+    Array.fill(NumHashes)(((rnd.nextLong() & Long.MaxValue) % (Prime - 1) + 1,
+      (rnd.nextLong() & Long.MaxValue) % Prime))
   }
 
   /** MinHash signature of a shingle set (deterministic, MurmurHash3 base). */
   def signature(grams: Iterable[String]): Array[Long] = {
     val sig = Array.fill(NumHashes)(Long.MaxValue)
     grams.foreach { g =>
-      val x = (MurmurHash3.stringHash(g).toLong & 0xffffffffL) + 1
+      val x = ((MurmurHash3.stringHash(g).toLong & 0xffffffffL) + 1) % Prime
       var i = 0
       while (i < NumHashes) {
         val (a, b) = hashParams(i)
-        // multiply in BigInt-free 128-safe form: values < 2^61, x < 2^32
-        val h = (a % Prime) * x % Prime + b
-        val v = h % Prime
+        val v = (a * x + b) % Prime
         if (v < sig(i)) sig(i) = v
         i += 1
       }
