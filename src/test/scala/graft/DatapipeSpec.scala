@@ -35,6 +35,24 @@ class DatapipeSpec extends SparkSpec {
     assert(realScalar === real)
   }
 
+  test("minhash signature: bounded, deterministic, union = elementwise min") {
+    // pins the hash-family algebra: every value lies in [0, 2^31-1)
+    // (the Mersenne modulus — also proves the a*x+b arithmetic never
+    // overflowed into a negative), same grams → same signature, and the
+    // defining minhash invariant sig(A ∪ B) = min(sig(A), sig(B))
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val a = Seq.fill(rnd.nextInt(30) + 1)(rnd.nextLong().toString)
+      val b = Seq.fill(rnd.nextInt(30) + 1)(rnd.nextLong().toString)
+      val sa = Dedup.signature(a)
+      val sb = Dedup.signature(b)
+      assert(sa.toSeq === Dedup.signature(a).toSeq)
+      assert(sa.forall(v => v >= 0L && v < 2147483647L))
+      assert(Dedup.signature(a ++ b).toSeq ===
+        sa.zip(sb).map(t => math.min(t._1, t._2)).toSeq)
+    }
+  }
+
   test("minhash LSH finds exactly the brute-force near-dup pairs (recall 1.0 here)") {
     val brute = Dedup.ngramJaccard(docs, threshold = 0.8)
       .select("ida", "idb").as[(Long, Long)].collect().toSet
