@@ -565,9 +565,16 @@ object Nlp {
   }
 
   /** Sentence splitter: period boundary (texts in this domain are single
-    * sentences per span, but handle multi-sentence spans too). */
+    * sentences per span, but handle multi-sentence spans too). The
+    * returned offset is where the TRIMMED sentence starts in `text` —
+    * a span with leading whitespace must not shift every character
+    * offset of its first sentence. */
   def splitSentences(text: String): Vector[(String, Int)] = {
     val out = Vector.newBuilder[(String, Int)]
+    def emit(raw: String, rawStart: Int): Unit = {
+      val t = raw.trim
+      if (t.nonEmpty) out += ((t, rawStart + raw.indexOf(t.charAt(0))))
+    }
     var start = 0
     var i = 0
     while (i < text.length) {
@@ -576,16 +583,14 @@ object Nlp {
       // the merged clauses) or end of text
       if (text.charAt(i) == '.' &&
           (i + 1 >= text.length || Character.isWhitespace(text.charAt(i + 1)))) {
-        val s = text.substring(start, i + 1)
-        if (s.trim.nonEmpty) out += ((s.trim, start))
+        emit(text.substring(start, i + 1), start)
         start = i + 1
         while (start < text.length && Character.isWhitespace(text.charAt(start)))
           start += 1
         i = start
       } else i += 1
     }
-    if (start < text.length && text.substring(start).trim.nonEmpty)
-      out += ((text.substring(start).trim, start))
+    if (start < text.length) emit(text.substring(start), start)
     out.result()
   }
 }

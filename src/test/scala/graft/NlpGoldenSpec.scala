@@ -28,6 +28,14 @@ class NlpGoldenSpec extends AnyFunSuite {
     assert(got.map(_._2) === Vector(0, 27, 54))
   }
 
+  test("splitSentences: leading whitespace does not shift the offset") {
+    val got = Nlp.splitSentences("  Fred visited Boston.   Mary left.")
+    assert(got.map(_._1) === Vector("Fred visited Boston.", "Mary left."))
+    // the offset is where the TRIMMED sentence starts, so char offsets
+    // (token spans, head ends) line up with the original span text
+    assert(got.map(_._2) === Vector(2, 25))
+  }
+
   test("'Fred Smith visited Chicago.' -> nsubj-1:visit:dobj (DepPathsTest.java:55)") {
     assert(pathOf("Fred Smith visited Chicago.").contains("nsubj-1:visit:dobj"))
   }
