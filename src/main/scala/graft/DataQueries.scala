@@ -97,6 +97,28 @@ object DataQueries {
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "text_trainset" -> ((s, d) => TextAnalysis.trainset(docs(s, d))),
+    "text_redact" -> ((s, d) => {
+      // deterministic PII augmentation (the fixture role Gen plays for
+      // the KG queries): both engines construct identical PII-bearing
+      // text from (doc_id, text), so the oracle hash-verifies REAL
+      // redactions, not a no-op pass over clean text
+      val aug = docs(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" Contact u"), col("doc_id"),
+              lit("@mail.example.com or 555-867-5309."))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit(" Server 192.168.1.42 logged.")).otherwise(lit("")))
+          .as("text"))
+      TextAnalysis.redactPii(aug)
+    }),
+    "text_contamination" -> ((s, d) => {
+      // benchmark slice = doc_id % 20 == 7 (the "eval set"); the corpus
+      // under test is everything else
+      val all = docs(s, d)
+      TextAnalysis.contamination(all.filter(col("doc_id") % 20 =!= 7),
+        all.filter(col("doc_id") % 20 === 7))
+    }),
     // --- multimodal plumbing ---
     "kg_media_features" -> ((s, d) =>
       Multimodal.extractFeatures(
@@ -333,6 +355,34 @@ object DataQueries {
         """SELECT doc_id,
           |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
           |FROM documents""".stripMargin,
+      "text_redact" ->
+        """WITH aug AS (SELECT doc_id, text ||
+          |  CASE WHEN doc_id % 5 = 0
+          |       THEN ' Contact u' || doc_id || '@mail.example.com or 555-867-5309.'
+          |       ELSE '' END ||
+          |  CASE WHEN doc_id % 7 = 0
+          |       THEN ' Server 192.168.1.42 logged.' ELSE '' END AS text
+          |FROM documents)
+          |SELECT doc_id,
+          |  regexp_replace(regexp_replace(regexp_replace(text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          |    '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+          |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted,
+          |  len(regexp_extract_all(text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|\b\d{3}-\d{3}-\d{4}\b|\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_pii
+          |FROM aug""".stripMargin,
+      "text_contamination" ->
+        """WITH idx(i) AS (SELECT unnest(generate_series(1, 120))),
+          |w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+          |      FROM documents),
+          |s AS (SELECT DISTINCT doc_id,
+          |        ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||
+          |        ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS gram
+          |      FROM w CROSS JOIN idx WHERE i <= len(ws) - 7)
+          |SELECT a.doc_id, min(b.doc_id) AS bench_id
+          |FROM s a JOIN s b ON a.gram = b.gram
+          |WHERE b.doc_id % 20 = 7 AND a.doc_id % 20 <> 7
+          |GROUP BY 1""".stripMargin,
       "kg_media_features" ->
         s"""${OracleSql.baseCte},
            |m AS (

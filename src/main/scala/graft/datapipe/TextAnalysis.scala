@@ -105,4 +105,57 @@ object TextAnalysis {
   def rollingHash(tokens: Seq[String], base: Long = 1000003L): Long =
     tokens.foldLeft(0L)((acc, t) =>
       acc * base + (scala.util.hashing.MurmurHash3.stringHash(t).toLong & 0xffffffffL))
+
+  // --- PII redaction -------------------------------------------------------
+
+  /** PII patterns chosen to behave identically under Java regex (Spark)
+    * and RE2 (DuckDB oracle): no backrefs, no lookaround, ASCII \b. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction — the scrubbing pass of a training-data pipeline:
+    * emails/phone numbers/IPv4s replaced with typed placeholders, plus
+    * the per-doc match count (the audit metric). Pure column
+    * expressions, so the whole operator is one codegen'd projection
+    * inside the scan — no UDF, no shuffle. Replacement order is safe:
+    * no placeholder can create a new match for a later pattern. */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val combined = s"$EmailRe|$PhoneRe|$Ipv4Re"
+    docs.select(col("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+          EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"), Ipv4Re, "[IP]")
+        .as("redacted"),
+      size(regexp_extract_all(col("text"), lit(combined), lit(0)))
+        .cast("long").as("n_pii"))
+  }
+
+  // --- benchmark-contamination detection -----------------------------------
+
+  /** Word n-grams per doc, NOT deduped (unlike Dedup.shingles — the
+    * consumer below aggregates per doc anyway, and a distinct here
+    * would shuffle the full corpus gram table before the join). */
+  private def grams(docs: DataFrame, n: Int): DataFrame = {
+    val w = docs.select(col("doc_id"), toks(col("text")).as("ws"))
+      .filter(size(col("ws")) >= n)
+    w.select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("ws")) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(col("ws"), i + k + 1)): _*)))
+      .as("gram"))
+  }
+
+  /** Benchmark-contamination detection — the decontamination pass of an
+    * LLM training-data pipeline: corpus docs sharing at least one word
+    * `n`-gram with a benchmark/eval document, reported with the lowest
+    * matching benchmark id as evidence. Scale shape: the benchmark set
+    * is tiny relative to the corpus, so its (distinct) gram table is
+    * broadcast; the corpus side stays a narrow scan + explode feeding a
+    * broadcast-hash join — the only shuffle is the per-doc min over the
+    * matching rows (the contaminated fraction, not the corpus). */
+  def contamination(corpus: DataFrame, bench: DataFrame, n: Int = 8): DataFrame =
+    grams(corpus, n)
+      .join(broadcast(grams(bench, n).distinct()
+        .select(col("gram"), col("doc_id").as("bench_id"))), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("bench_id")).as("bench_id"))
 }

@@ -35,6 +35,36 @@ class DatapipeSpec extends SparkSpec {
     assert(realScalar === real)
   }
 
+  test("redactPii: typed placeholders and audit counts") {
+    val df = Seq(
+      (1L, "mail a.b-c@x.co.uk now"),
+      (2L, "call 555-123-4567 or 555-999-0000"),
+      (3L, "host 10.0.0.1 up"),
+      (4L, "clean text"),
+      (5L, "x@y.io at 1.2.3.4 call 111-222-3333")).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(df).as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    assert(got(0) === ((1L, "mail [EMAIL] now", 1L)))
+    assert(got(1) === ((2L, "call [PHONE] or [PHONE]", 2L)))
+    assert(got(2) === ((3L, "host [IP] up", 1L)))
+    assert(got(3) === ((4L, "clean text", 0L)))
+    assert(got(4) === ((5L, "[EMAIL] at [IP] call [PHONE]", 3L)))
+  }
+
+  test("contamination: flags only docs sharing an 8-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"), // shares "a b c d e f g h" with 100
+      (2L, "z y x w v u t s r q"), // no shared 8-gram
+      (3L, "short text")           // under 8 tokens, no grams
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "a b c d e f g h k l"),
+      (101L, "m n o p q r s t u v")).toDF("doc_id", "text")
+    val got = TextAnalysis.contamination(corpus, bench)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 100L)))
+  }
+
   test("minhash signature: bounded, deterministic, union = elementwise min") {
     // pins the hash-family algebra: every value lies in [0, 2^31-1)
     // (the Mersenne modulus — also proves the a*x+b arithmetic never
