@@ -97,6 +97,7 @@ object DataQueries {
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "text_trainset" -> ((s, d) => TextAnalysis.trainset(docs(s, d))),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetitionRatio(docs(s, d))),
     "text_redact" -> ((s, d) => {
       // deterministic PII augmentation (the fixture role Gen plays for
       // the KG queries): both engines construct identical PII-bearing
@@ -355,6 +356,19 @@ object DataQueries {
         """SELECT doc_id,
           |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
           |FROM documents""".stripMargin,
+      "text_repetition" ->
+        """WITH idx(i) AS (SELECT unnest(generate_series(1, 120))),
+          |w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+          |      FROM documents),
+          |g AS (SELECT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS gram
+          |      FROM w CROSS JOIN idx WHERE i <= len(ws) - 2),
+          |r AS (SELECT doc_id, count(*) AS total, count(DISTINCT gram) AS dist
+          |      FROM g GROUP BY 1)
+          |SELECT w.doc_id,
+          |  CASE WHEN len(w.ws) >= 3
+          |       THEN round((r.total - r.dist) * 1.0 / r.total, 6)
+          |       ELSE 0.0 END AS rep_ratio
+          |FROM w LEFT JOIN r ON w.doc_id = r.doc_id""".stripMargin,
       "text_redact" ->
         """WITH aug AS (SELECT doc_id, text ||
           |  CASE WHEN doc_id % 5 = 0

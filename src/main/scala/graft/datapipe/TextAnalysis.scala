@@ -106,6 +106,24 @@ object TextAnalysis {
     tokens.foldLeft(0L)((acc, t) =>
       acc * base + (scala.util.hashing.MurmurHash3.stringHash(t).toLong & 0xffffffffL))
 
+  /** Repetition ratio — the repeated-n-gram quality filter of web-scale
+    * curation pipelines: the fraction of a doc's word n-gram occurrences
+    * that duplicate an earlier occurrence (0.0 = no repetition). Pure
+    * column expressions over the per-doc gram array — no explode, no
+    * shuffle, stays inside the scan's projection. The under-n-tokens
+    * branch must stay inside the CaseWhen: its lazy evaluation is what
+    * keeps element_at from indexing past the array under ANSI mode. */
+  def repetitionRatio(docs: DataFrame, n: Int = 3): DataFrame = {
+    val ws = toks(col("text"))
+    val grams = transform(sequence(lit(0), size(ws) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*))
+    val ratio = when(size(ws) >= n,
+        round((size(grams) - size(array_distinct(grams))).cast("double") /
+          size(grams), 6))
+      .otherwise(lit(0.0))
+    docs.select(col("doc_id"), ratio.as("rep_ratio"))
+  }
+
   // --- PII redaction -------------------------------------------------------
 
   /** PII patterns chosen to behave identically under Java regex (Spark)

@@ -51,6 +51,17 @@ class DatapipeSpec extends SparkSpec {
     assert(got(4) === ((5L, "[EMAIL] at [IP] call [PHONE]", 3L)))
   }
 
+  test("repetitionRatio: duplicate-gram fraction, short docs score 0") {
+    val df = Seq(
+      (1L, "a b c a b c a b"),   // grams: abc bca cab abc bca cab → 6 total, 3 distinct
+      (2L, "a b c d e"),          // all distinct → 0.0
+      (3L, "x y"),                // under 3 tokens → 0.0 (lazy branch)
+      (4L, "t t t t")).toDF("doc_id", "text") // ttt ttt → 0.5
+    val got = TextAnalysis.repetitionRatio(df).as[(Long, Double)]
+      .collect().sortBy(_._1)
+    assert(got === Array((1L, 0.5), (2L, 0.0), (3L, 0.0), (4L, 0.5)))
+  }
+
   test("contamination: flags only docs sharing an 8-gram with the benchmark") {
     val corpus = Seq(
       (1L, "a b c d e f g h i j"), // shares "a b c d e f g h" with 100

@@ -29,6 +29,18 @@ class PlanSpec extends SparkSpec {
     assert(!read.contains("lang") && !read.contains("source"))
   }
 
+  test("redaction and repetition are shuffle-free projections") {
+    for (q <- Seq("text_redact", "text_repetition")) {
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("Exchange"), s"unexpected shuffle in $q:\n$p")
+    }
+  }
+
+  test("contamination broadcasts the benchmark gram table") {
+    val p = plan(SparkEntry.queries("text_contamination")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
   test("filter on lineitem pushes into the parquet scan") {
     import org.apache.spark.sql.functions._
     val df = spark.read.parquet(s"$dir/lineitem.parquet")
