@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
 object Ann {
 
   // (id, v): double-cast vector view. Norms are NOT precomputed —
-  // cosineSim normalizes inside its fused loop.
+  // cosineSim normalizes inside its fused loop. Null embeddings are
+  // dropped here, centrally: every consumer feeds a UDF or a typed
+  // array loop that would NPE on a null vector.
   private def normed(emb: DataFrame, idCol: String): DataFrame =
-    emb.select(col(idCol),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+    emb.filter(col("embedding").isNotNull)
+      .select(col(idCol),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
 
   /** Exact top-k cosine neighbors for each query vector (query set =
     * vec_id < nQueries). Output (query_id, neighbor_id, rank). The
@@ -157,8 +160,10 @@ object Ann {
               bits: Int = 4, bands: Int = 24): DataFrame = {
     val spark = emb.sparkSession
     // empty corpus → empty result (same guard as ivfTopK), not a
-    // NoSuchElementException out of first()
-    val dimRow = emb.select(size(col("embedding"))).limit(1).collect()
+    // NoSuchElementException out of first(); null vectors must not be
+    // the dimension probe either
+    val dimRow = emb.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).limit(1).collect()
     if (dimRow.isEmpty)
       return emb.sparkSession.emptyDataFrame
         .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),

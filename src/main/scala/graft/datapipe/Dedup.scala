@@ -185,6 +185,9 @@ object Dedup {
     * distance 11 at sf0.1 vs 256 true near-dups; 3-gram simhash puts
     * ~the true pairs and nothing else there). */
   def simhashFeatures(text: String, n: Int = 3): Seq[String] = {
+    // null text → no features (same contract as gramSet: a nullable
+    // text column must not NPE the executor)
+    if (text == null) return Seq.empty
     val ws = text.trim.split("\\s+")
     if (ws.length < n) ws.toSeq.distinct
     else (0 to ws.length - n).map(i => ws.slice(i, i + n).mkString(" ")).distinct
@@ -283,8 +286,10 @@ object Dedup {
   def embeddingNearDupLsh(emb: DataFrame, threshold: Double = 0.5,
                           bits: Int = 4, bands: Int = 16): DataFrame = {
     val spark = emb.sparkSession
-    // empty corpus → empty pair set, not a first() crash
-    val dimRow = emb.select(size(col("embedding"))).limit(1).collect()
+    // empty corpus → empty pair set, not a first() crash; null vectors
+    // must not be the dimension probe either
+    val dimRow = emb.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).limit(1).collect()
     if (dimRow.isEmpty)
       return emb.select(col("vec_id").cast("long").as("ida"),
         col("vec_id").cast("long").as("idb")).limit(0)
@@ -310,8 +315,9 @@ object Dedup {
     // vecs feeds the band keys and both verify-join sides; banded feeds
     // both candidate-join sides — without the persist the hyperplane
     // projections run once per side
-    val vecs = emb.select(col("vec_id").cast("long").as("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v")).persist()
+    val vecs = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v")).persist()
     val banded = vecs.select(col("vec_id"),
       posexplode(keysUdf(col("v"))).as(Seq("band", "bkey"))).persist()
     val cand = banded.as("a").join(banded.as("b"),
@@ -338,7 +344,8 @@ object Dedup {
   def embeddingCosine(emb: DataFrame, threshold: Double = 0.5): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val vecs = emb.select(col("vec_id").cast("long"),
+    val vecs = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id").cast("long"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .as[(Long, Array[Double])]
     def unit(v: Array[Double]): Array[Double] = {

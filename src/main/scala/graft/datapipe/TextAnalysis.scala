@@ -34,7 +34,10 @@ object TextAnalysis {
       size(filter(ws, w => markers(lang).map(m => w === m).reduce(_ || _)))
     val en = hits("en"); val de = hits("de"); val fr = hits("fr"); val es = hits("es")
     val best = greatest(en, de, fr, es)
-    when(best === 0, "unk")
+    // null text must be 'unk': without the explicit guard every `when`
+    // condition is NULL (not true) and the null row falls through to
+    // the 'es' catch-all
+    when(text.isNull || best === 0, "unk")
       .when(en === best, "en")
       .when(de === best, "de")
       .when(fr === best, "fr")
