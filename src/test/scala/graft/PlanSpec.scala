@@ -36,6 +36,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucketed ANN paths join on bucket keys, not nested loops") {
+    // bruteForceTopK deliberately plans a BroadcastNestedLoopJoin
+    // (broadcast queries x corpus scan — every pair must be scored);
+    // the scale paths must NOT: LSH joins on (band, bkey), IVF on cell
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    for (df <- Seq(graft.datapipe.Ann.lshTopK(emb),
+                   graft.datapipe.Ann.ivfTopK(emb))) {
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"bucketed ANN planned a nested loop:\n$p")
+    }
+  }
+
   test("contamination broadcasts the benchmark gram table") {
     val p = plan(SparkEntry.queries("text_contamination")(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
