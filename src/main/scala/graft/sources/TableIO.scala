@@ -57,17 +57,19 @@ final class TableIO(spark: SparkSession, root: String) {
       .parquet(dataDir)
     val wallMs = (System.nanoTime() - t0) / 1000000
     // per-partition lineage + total rows in ONE pass over the written
-    // data (the lineage result is tiny — one row per file — so the row
-    // count is its driver-side sum, not a second full read)
-    val lineageRows = spark.read.parquet(dataDir)
+    // data. The lineage table (one row per data file) is written
+    // DISTRIBUTED — at 100 TB a table has ~1M files, and collecting a
+    // million rows per commit to the driver is avoidable pressure; the
+    // manifest's row count comes from a sum over the (tiny) lineage
+    // parquet instead.
+    spark.read.parquet(dataDir)
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("rows_out"))
-      .collect()
-    val rows = lineageRows.map(_.getAs[Long]("rows_out")).sum
-    import spark.implicits._
-    lineageRows.map(r => (r.getString(0), r.getAs[Long]("rows_out"), name, wallMs))
-      .toSeq.toDF("file", "rows_out", "stage", "wall_ms")
+      .withColumn("stage", lit(name))
+      .withColumn("wall_ms", lit(wallMs))
       .write.mode("overwrite").parquet(s"$dir/_lineage")
+    val rows = spark.read.parquet(s"$dir/_lineage")
+      .agg(coalesce(sum(col("rows_out")), lit(0L))).first().getLong(0)
     val snapshotId = java.util.UUID.randomUUID().toString
     val inputSnaps = inputs.map(i => s"${jstr(i)}: ${snapshotOf(i)}").mkString(",")
     val metricJson =
