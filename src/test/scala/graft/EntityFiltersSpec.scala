@@ -85,6 +85,25 @@ class EntityFiltersSpec extends SparkSpec {
     assert(StatusStore.load(path4.toString).entitySets === Map("s" -> Vector()))
   }
 
+  test("status store: fuzzed round-trip over quote/colon/escape-heavy strings") {
+    // hand-rolled parser ⇒ fuzz it: random strings drawn from exactly
+    // the alphabet the quoting logic special-cases (quotes, colons,
+    // backslashes, dashes, '#', control chars, spaces)
+    val rnd = new scala.util.Random(3)
+    val alphabet = "ab:#-\"'\\\n\r\t xyZ09"
+    def s(): String =
+      (0 until rnd.nextInt(10)).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+    for (trial <- 1 to 300) {
+      val st = IceStatus(
+        corpora = Map(s() -> Map(s() -> s(), s() -> s())),
+        entitySets = Map(s() -> Seq(s(), s())),
+        relations = Map(s() -> Seq(s())))
+      val rt = StatusStore.parse(StatusStore.render(st))
+      assert(rt === st, s"trial $trial: ${StatusStore.render(st)}")
+    }
+  }
+
   test("verb-lemma fallback strips inflections without touching lexicon verbs") {
     assert(Nlp.lemmaVerb("visited") === "visit") // lexicon
     assert(Nlp.lemmaVerb("carries") === "carry")
