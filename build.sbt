@@ -14,6 +14,10 @@ run / fork := true
 // Forked run output goes straight to stdout (no "[info] " log prefix):
 // the driver parses Bench's single JSON line from stdout.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// No "[success] Total time ..." trailer after the program exits — the
+// driver reads the LAST stdout line as Bench's JSON metric line, and the
+// success banner was landing after it (BENCH parsed: null).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

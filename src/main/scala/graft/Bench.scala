@@ -31,30 +31,41 @@ object Bench {
       spark.read.parquet(s"$sfDir/documents.parquet").limit(100).count()
     } catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // NonFatal only: an OOM/LinkageError must abort the run — timings
-      // recorded after a fatal error in this JVM would be garbage that
-      // looks legitimate
-      try fn(spark, sfDir).count()
-      catch { case scala.util.control.NonFatal(e) =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-        System.err.println(s"[bench] $name FAILED: $e")
+    // SPARK_GRAFT_REPS > 1 (dev use; driver runs 1): repeat the whole
+    // query set and report rep-1 per-query times plus every rep's total,
+    // so host-mode drift (BASELINE.md: ±30% run-to-run on this microVM)
+    // is visible inside one JSON line
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt max 1
+    def oneRep(): scala.collection.immutable.ListMap[String, Double] = {
+      val pairs = SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // NonFatal only: an OOM/LinkageError must abort the run — timings
+        // recorded after a fatal error in this JVM would be garbage that
+        // looks legitimate
+        try fn(spark, sfDir).count()
+        catch { case scala.util.control.NonFatal(e) =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          System.err.println(s"[bench] $name FAILED: $e")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release any blocks a query's pipeline persisted (long-lived
+        // sessions must not accumulate cache across queries) — OUTSIDE
+        // the timed window: block release is session bookkeeping, not
+        // query cost
+        spark.catalog.clearCache()
+        name -> dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // release any blocks a query's pipeline persisted (long-lived
-      // sessions must not accumulate cache across queries) — OUTSIDE
-      // the timed window: block release is session bookkeeping, not
-      // query cost
-      spark.catalog.clearCache()
-      name -> dt
+      scala.collection.immutable.ListMap.from(pairs)
     }
+    val allReps = (1 to reps).map(_ => oneRep())
+    val results = allReps.head
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"err_count":${errors.size},"errors":$errs,"sf":${jstr(sfDir)}}""")
+    val totals = allReps.map(r => r.values.sum).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"err_count":${errors.size},"errors":$errs,"reps":$reps,"rep_totals":$totals,"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

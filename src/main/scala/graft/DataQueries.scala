@@ -165,9 +165,12 @@ object DataQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))),
     "q_salted_events" -> ((s, d) => {
-      val df = ev(s, d).select(col("event_type"),
+      // salt from event_id (the stream's unique key): deterministic
+      // under stage retry, spreads hot event_type keys
+      val df = ev(s, d).select(col("event_type"), col("event_id"),
         col("value").cast("decimal(18,4)").as("v"))
-      graft.functions.Salting.saltedSum(df, Seq("event_type"), "v", "total")
+      graft.functions.Salting.saltedSum(df, Seq("event_type"), "v", "total",
+          uniqueKeys = Seq("event_id"))
         .select(col("event_type"), col("total").cast("double").as("total"))
     }),
     "q_distinct_users" -> ((s, d) =>
@@ -242,9 +245,15 @@ object DataQueries {
   )
 
   val oracles: Map[String, String] = {
+    // gram index range derived from the LONGEST document, not a
+    // hardcoded cap: a future fixture with longer docs must lengthen the
+    // oracle's shingle enumeration, not silently truncate it
+    val maxLen =
+      """(SELECT coalesce(max(len(string_split_regex(trim(text), '\s+'))), 1)
+        |          FROM documents)""".stripMargin
     val shingleCte =
-      """WITH idx(i) AS (SELECT unnest(generate_series(1, 120)) ),
-        |w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+      s"""WITH idx(i) AS (SELECT unnest(generate_series(1, $maxLen)) ),
+        |w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
         |s AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
         |      FROM w CROSS JOIN idx WHERE i <= len(ws)-2),
         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
@@ -357,8 +366,8 @@ object DataQueries {
           |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
           |FROM documents""".stripMargin,
       "text_repetition" ->
-        """WITH idx(i) AS (SELECT unnest(generate_series(1, 120))),
-          |w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        s"""WITH idx(i) AS (SELECT unnest(generate_series(1, $maxLen))),
+          |w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
           |      FROM documents),
           |g AS (SELECT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS gram
           |      FROM w CROSS JOIN idx WHERE i <= len(ws) - 2),
@@ -386,8 +395,8 @@ object DataQueries {
           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|\b\d{3}-\d{3}-\d{4}\b|\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_pii
           |FROM aug""".stripMargin,
       "text_contamination" ->
-        """WITH idx(i) AS (SELECT unnest(generate_series(1, 120))),
-          |w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        s"""WITH idx(i) AS (SELECT unnest(generate_series(1, $maxLen))),
+          |w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
           |      FROM documents),
           |s AS (SELECT DISTINCT doc_id,
           |        ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||

@@ -113,12 +113,19 @@ object TextAnalysis {
     * curation pipelines: the fraction of a doc's word n-gram occurrences
     * that duplicate an earlier occurrence (0.0 = no repetition). Pure
     * column expressions over the per-doc gram array — no explode, no
-    * shuffle, stays inside the scan's projection. The under-n-tokens
-    * branch must stay inside the CaseWhen: its lazy evaluation is what
-    * keeps element_at from indexing past the array under ANSI mode. */
+    * shuffle, stays inside the scan's projection. The gram expression is
+    * TOTAL: its index sequence is clamped (slice over greatest) so it
+    * yields an empty array — never a negative element_at index — for
+    * under-n-token docs, independent of CaseWhen branch laziness (an
+    * optimizer that evaluated both branches, e.g. via cross-branch
+    * subexpression elimination, must not turn the guard into a crash). */
   def repetitionRatio(docs: DataFrame, n: Int = 3): DataFrame = {
     val ws = toks(col("text"))
-    val grams = transform(sequence(lit(0), size(ws) - n),
+    // indices 0..size-n when size >= n, else [] (sequence always emits
+    // at least one element, so the empty case comes from slice length 0)
+    val idx = slice(sequence(lit(0), greatest(size(ws) - n, lit(0))),
+      lit(1), greatest(size(ws) - n + 1, lit(0)))
+    val grams = transform(idx,
       i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*))
     val ratio = when(size(ws) >= n,
         round((size(grams) - size(array_distinct(grams))).cast("double") /

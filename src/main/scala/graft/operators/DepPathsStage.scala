@@ -84,8 +84,12 @@ object DepPathsStage {
     * frequencies are Zipf-skewed, so the single-key groupBy would put
     * half the rows in one reducer at scale. */
   def pathTypesTable(inst: Dataset[PathInstance]): DataFrame =
+    // deterministic salt from the instance's row identity (doc, sentence,
+    // args): retry-safe on a cluster, and a Zipf-hot path key still
+    // spreads because its instances differ in (doc_id, sentIdx, args)
     graft.functions.Salting.saltedCount(
-      inst.toDF(), Seq("type1", "path", "type2"), saltBuckets = 32)
+      inst.toDF(), Seq("type1", "path", "type2"), saltBuckets = 32,
+      uniqueKeys = Seq("doc_id", "sentIdx", "arg1", "arg2"))
 
   /** `path_ngrams` table (X4 ngram-event emission): counts of the
     * overlapping label:word:label trigrams per path — training pairs

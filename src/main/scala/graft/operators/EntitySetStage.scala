@@ -117,8 +117,13 @@ object EntitySetStage {
     // every term), which must yield an empty index, not an NPE
     val n = cells.agg(coalesce(sum(col("cnt")), lit(0L)))
       .first().getLong(0).toDouble
+    // no broadcast hint on ctxTotals: the context VOCABULARY is unbounded
+    // at web scale (unlike the per-query seed/rule tables that stay
+    // hinted), so the join is left to AQE — it still broadcasts a small
+    // side at runtime and falls back to a shuffled hash join when the
+    // vocabulary outgrows an executor
     cells.join(rowTotals, "term")
-      .join(broadcast(ctxTotals), "context")
+      .join(ctxTotals, "context")
       .withColumn("pmi", round(
         log(col("cnt") / col("row_total") / (col("ctx_total") / lit(n))), 6))
       .filter(col("pmi") > 0.1)

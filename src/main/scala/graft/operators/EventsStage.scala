@@ -74,14 +74,19 @@ object EventsStage {
     * reference's eventInstanceCounts leg, DepPaths.java:564-583) — via
     * the salted two-phase helper (trigger keys are Zipf-hot too). */
   def eventInstanceCounts(ev: Dataset[EventRow]): DataFrame =
+    // salt from (doc_id, example): deterministic (retry-safe), and a
+    // Zipf-hot event key spreads because its trees come from many docs
     graft.functions.Salting.saltedCount(
-      ev.toDF().select(col("instance_key").as("key")), Seq("key"))
+      ev.toDF().select(col("instance_key").as("key"), col("doc_id"),
+        col("example")), Seq("key"),
+      uniqueKeys = Seq("doc_id", "example"))
 
   /** `event_types` count table — type-signature keys (the reference's
     * eventTypeCounts leg). */
   def eventCounts(ev: Dataset[EventRow]): DataFrame =
     graft.functions.Salting.saltedCount(
-      ev.toDF().select(col("key")), Seq("key"))
+      ev.toDF().select(col("key"), col("doc_id"), col("example")),
+      Seq("key"), uniqueKeys = Seq("doc_id", "example"))
 
   /** Linearize an event tree into an English-ish repr
     * (events/DepTreeMap.java linearization contract): subject, trigger,

@@ -45,6 +45,15 @@ object Export {
     *  - P/R/F count type errors in both denominators, as the reference
     *    does (reportScores)
     *
+    * NOTE on parity: within a contended group the reference scans keys
+    * in Java HashMap iteration order — effectively ARBITRARY — while
+    * this greedy is a deterministic canonicalization of it (same-pred
+    * keys first, then any arg-matching key, both in sorted order). On
+    * groups with multiple contending keys the correct/type_error split
+    * (and thus P/R/F) is one member of the set of outcomes the
+    * reference could produce, maximizing `correct`; it is NOT
+    * bit-identical to any particular reference run.
+    *
     * Entity tables: `(doc_id, head_end)`; relation tables:
     * `(doc_id, pred, a1_end, a2_end)`. Entity alignment is equi-joined
     * on (doc, offset); relation consumption runs per

@@ -52,18 +52,17 @@ object TermsStage {
 
   /** Ratio ranking (A9, TermRanker.java:84-88 with alpha=1 and +1
     * smoothing): score = fgDocFreq * ln(fgDocFreq) / (bgDocFreq + 1).
-    * bg side is broadcast — a dimension-table join (J1). Score rounded
-    * to 6 dp for cross-engine comparability.
+    * J1 dimension join on `term`; score rounded to 6 dp for
+    * cross-engine comparability.
     *
-    * Scale note: the broadcast hint is right while the background
-    * TERM VOCABULARY (not the background corpus) fits an executor —
-    * tens of millions of (term, doc_freq) rows. For a web-scale bg
-    * vocabulary, drop the hint and let AQE pick the join (it shuffles
-    * on `term`, the natural key, and still broadcasts small sides at
-    * runtime). */
+    * Scale note: NO broadcast hint on the bg side — the background
+    * TERM VOCABULARY is unbounded at web scale, so the join is left to
+    * AQE, which still broadcasts a small side at runtime and falls back
+    * to a shuffled hash join on `term` (the natural key) when the
+    * vocabulary outgrows an executor. */
   def rankTerms(fg: DataFrame, bg: DataFrame): DataFrame = {
-    val bgc = broadcast(bg.select(col("term").as("bg_term"),
-      col("doc_freq").as("bg_doc_freq")))
+    val bgc = bg.select(col("term").as("bg_term"),
+      col("doc_freq").as("bg_doc_freq"))
     fg.join(bgc, col("term") === col("bg_term"), "left")
       .withColumn("score",
         round(col("doc_freq") * log(col("doc_freq").cast("double")) /

@@ -105,19 +105,18 @@ object KgPipeline {
   /** fg/bg path-type ratio ranking (A8 applied to relations — the
     * reference's rankRelations flow, Corpus.java:241-259 + Ratio.java:
     * 40-50): foreground/background doc slices as in termRank; score =
-    * fgCnt·ln(fgCnt)/(bgCnt+1), bg side broadcast (J1). Broadcast is
-    * right while the bg PATH-TYPE vocabulary fits an executor; at a
-    * web-scale vocabulary drop the hint and let AQE choose (see
-    * TermsStage.rankTerms). */
+    * fgCnt·ln(fgCnt)/(bgCnt+1) (J1). No broadcast hint: the bg
+    * PATH-TYPE vocabulary is unbounded at web scale, so the join is
+    * left to AQE (see TermsStage.rankTerms). */
   def pathRank(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, log, round}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, log, round}
     def types(mod: Long, res: Long) =
       DepPathsStage.pathTypesTable(DepPathsStage.instances(
         Preprocess.annotate(corpusSlice(spark, sfDir, mod, res))))
     val fg = types(4, 0)
     val bg = types(4, 2)
       .select(col("type1"), col("path"), col("type2"), col("cnt").as("bg_cnt"))
-    fg.join(broadcast(bg), Seq("type1", "path", "type2"), "left")
+    fg.join(bg, Seq("type1", "path", "type2"), "left")
       .select(col("type1"), col("path"), col("type2"), col("cnt").as("fg_cnt"),
         round(col("cnt") * log(col("cnt").cast("double")) /
           (coalesce(col("bg_cnt"), lit(0L)) + lit(1)), 6).as("score"))
