@@ -48,7 +48,7 @@ object OracleSql {
 
   /** Extra-sentence derivations (Gen.extraSentence): tour (k7=1),
     * pronoun-coref (k7=2), money (k7=3), partial-name (k7=4), marriage
-    * (k7=5). Appended after [[baseCte]]. `api` is the pronoun-coref
+    * (k7=5), quantifier (k7=6). Appended after [[baseCte]]. `api` is the pronoun-coref
     * antecedent person index — the most recent sentence whose person
     * matches the s=0 gender; `napi` the partial-name antecedent — the
     * most recent sentence whose person carries the s=0 last name
@@ -67,8 +67,11 @@ object OracleSql {
        |         CAST((d.doc_id*29) % 40 AS INT) AS mpi,
        |         d.doc_id % 9 + 1 AS amt,
        |         CAST((d.doc_id*31) % 40 AS INT) AS w1,
-       |         CAST((d.doc_id*37 + 11) % 40 AS INT) AS w2r
-       |  FROM documents d WHERE d.doc_id % 7 IN (1, 2, 3, 4, 5)
+       |         CAST((d.doc_id*37 + 11) % 40 AS INT) AS w2r,
+       |         CAST((d.doc_id*41) % 40 AS INT) AS qpi,
+       |         CAST((d.doc_id*43) % 25 AS INT) AS qgi,
+       |         CAST((d.doc_id*11) % 4 AS INT) AS qni
+       |  FROM documents d WHERE d.doc_id % 7 IN (1, 2, 3, 4, 5, 6)
        |),
        |xx AS (SELECT *,
        |       CASE WHEN w2r % 20 = w1 % 20 THEN (w2r+1) % 40 ELSE w2r END AS w2,
@@ -83,6 +86,8 @@ object OracleSql {
        |              THEN s1pi
        |            ELSE tpi END AS napi
        |       FROM x)""".stripMargin
+
+  private val quantsL = sqlList(Gen.quantNouns)
 
   // surface-form snippets for the extra sentences
   private val tourPerson = s"($personsL)[tpi+1]"
@@ -111,6 +116,16 @@ object OracleSql {
   private val namePerson = s"($personsL)[napi+1]"
   private val nameWord = s"($lastsL)[tpi+1]"
   private val nameText = s"$nameWord || ' toured ' || $tourGpe || '.'"
+  // quantifier sentence (k7=6): "P visited a <quant> of G." — the mined
+  // path regularizes to the plain visit path (F13), so its triples
+  // decode through the visited rule
+  private val quantPerson = s"($personsL)[qpi+1]"
+  private val quantNoun = s"($quantsL)[qni+1]"
+  private val quantGpe =
+    s"CASE WHEN tal THEN ($aliasesL)[qgi+1] ELSE ($gpesL)[qgi+1] END"
+  private val quantGpeCanon = s"($gpesL)[qgi+1]"
+  private val quantText =
+    s"$quantPerson || ' visited a ' || $quantNoun || ' of ' || $quantGpe || '.'"
 
   /** Tour sentences soft-match the `visited` rule (one word substitution,
     * 0.8/3 < 0.5 threshold) — the nearest rule deterministically. */
@@ -129,7 +144,10 @@ object OracleSql {
        |FROM xx WHERE k7 = 2
        |UNION ALL
        |SELECT CAST(id AS VARCHAR), $namePerson, 'visited', $tourGpe
-       |FROM xx WHERE k7 = 4""".stripMargin
+       |FROM xx WHERE k7 = 4
+       |UNION ALL
+       |SELECT CAST(id AS VARCHAR), $quantPerson, 'visited', $quantGpe
+       |FROM xx WHERE k7 = 6""".stripMargin
 
   val kgCanonicalTriples: String =
     s"""$baseCte$xtraCte
@@ -151,13 +169,18 @@ object OracleSql {
        |UNION ALL
        |SELECT CAST(id AS VARCHAR), $namePerson, 'visited', $tourGpe,
        |       $namePerson, $tourGpeCanon
-       |FROM xx WHERE k7 = 4""".stripMargin
+       |FROM xx WHERE k7 = 4
+       |UNION ALL
+       |SELECT CAST(id AS VARCHAR), $quantPerson, 'visited', $quantGpe,
+       |       $quantPerson, $quantGpeCanon
+       |FROM xx WHERE k7 = 6""".stripMargin
 
   val kgPathTypes: String =
     s"""$baseCte$xtraCte
        |SELECT type1, path, type2, count(*) AS cnt FROM (
        |  SELECT 'PERSON' AS type1, ($pathsL)[ri] AS path, 'GPE' AS type2 FROM bb
        |  UNION ALL SELECT 'PERSON', 'nsubj-1:tour:dobj', 'GPE' FROM xx WHERE k7 IN (1, 2, 4)
+       |  UNION ALL SELECT 'PERSON', 'nsubj-1:visit:dobj', 'GPE' FROM xx WHERE k7 = 6
        |  UNION ALL SELECT 'PERSON', 'nsubj-1:pay:dobj', 'MONEY' FROM xx WHERE k7 = 3
        |  UNION ALL SELECT 'PERSON(1)', 'nsubj-1:marry:dobj', 'PERSON(2)' FROM xx WHERE k7 = 5
        |) GROUP BY 1, 2, 3""".stripMargin
@@ -178,6 +201,8 @@ object OracleSql {
        |  FROM xx WHERE k7 = 2
        |  UNION ALL SELECT $namePerson, 'nsubj-1:tour:dobj', $tourGpe, $nameText
        |  FROM xx WHERE k7 = 4
+       |  UNION ALL SELECT $quantPerson, 'nsubj-1:visit:dobj', $quantGpe, $quantText
+       |  FROM xx WHERE k7 = 6
        |  UNION ALL SELECT $moneyPerson, 'nsubj-1:pay:dobj', $moneyObj, $moneyText
        |  FROM xx WHERE k7 = 3
        |  UNION ALL SELECT $sp1, 'nsubj-1:marry:dobj', $sp2, $marryText
@@ -203,6 +228,7 @@ object OracleSql {
        |allp AS (
        |  SELECT ($pathsL)[ri] AS path FROM bb
        |  UNION ALL SELECT 'nsubj-1:tour:dobj' FROM xx WHERE k7 IN (1, 2, 4)
+       |  UNION ALL SELECT 'nsubj-1:visit:dobj' FROM xx WHERE k7 = 6
        |  UNION ALL SELECT 'nsubj-1:pay:dobj' FROM xx WHERE k7 = 3
        |  UNION ALL SELECT 'nsubj-1:marry:dobj' FROM xx WHERE k7 = 5
        |),
@@ -283,7 +309,8 @@ object OracleSql {
        |       'text',
        |       CASE k7 WHEN 1 THEN $tourText WHEN 2 THEN $pronText
        |               WHEN 3 THEN $moneyText WHEN 4 THEN $nameText
-       |               ELSE $marryText END, ''
+       |               WHEN 5 THEN $marryText
+       |               ELSE $quantText END, ''
        |FROM xx""".stripMargin
   }
 
@@ -300,12 +327,24 @@ object OracleSql {
        |  FROM documents d WHERE d.doc_id % 2 = 0
        |)""".stripMargin
 
+  /** Quant-sentence dep events (k7=6): the quantifier noun is a term
+    * ("group") whose only context is its governing `dobj-1_visit` arc —
+    * the partitive `prep of` / `det a` arcs fall to the stopword
+    * exclusion. */
+  private val quantEvLeg: String =
+    s"""SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       |       ($quantsL)[CAST((doc_id*11) % 4 AS INT)+1] AS term,
+       |       'dobj-1_visit' AS context
+       |FROM documents WHERE doc_id % 7 = 6""".stripMargin
+
   val kgDepEvents: String =
     s"""$fillerCte
        |SELECT CAST(id AS VARCHAR) AS doc_id, n1 AS term,
        |       'nsubj-1_' || fvl AS context FROM f
        |UNION ALL
-       |SELECT CAST(id AS VARCHAR), n2, 'dobj-1_' || fvl FROM f""".stripMargin
+       |SELECT CAST(id AS VARCHAR), n2, 'dobj-1_' || fvl FROM f
+       |UNION ALL
+       |$quantEvLeg""".stripMargin
 
   /** Typeless-indexer pairs for the term list {budget, report,
     * annual budget}: longest-first matching consumes "annual budget"
@@ -337,6 +376,7 @@ object OracleSql {
     s"""ev AS (
        |  SELECT n1 AS term, 'nsubj-1_' || fvl AS context FROM f
        |  UNION ALL SELECT n2, 'dobj-1_' || fvl FROM f
+       |  UNION ALL SELECT term, context FROM ($quantEvLeg)
        |),
        |$cellsSql,
        |rt AS (SELECT term, sum(cnt) AS row_total FROM cells GROUP BY 1),
@@ -418,6 +458,7 @@ object OracleSql {
        |allp AS (
        |  SELECT id, 'PERSON' AS type1, ($pathsL)[ri] AS path, 'GPE' AS type2 FROM bb
        |  UNION ALL SELECT id, 'PERSON', 'nsubj-1:tour:dobj', 'GPE' FROM xx WHERE k7 IN (1, 2, 4)
+       |  UNION ALL SELECT id, 'PERSON', 'nsubj-1:visit:dobj', 'GPE' FROM xx WHERE k7 = 6
        |  UNION ALL SELECT id, 'PERSON', 'nsubj-1:pay:dobj', 'MONEY' FROM xx WHERE k7 = 3
        |  UNION ALL SELECT id, 'PERSON(1)', 'nsubj-1:marry:dobj', 'PERSON(2)' FROM xx WHERE k7 = 5
        |),
@@ -444,6 +485,8 @@ object OracleSql {
        |  FROM xx WHERE k7 = 2
        |  UNION ALL SELECT $namePerson || ':::' || $tourGpe, 'nsubj-1:tour:dobj'
        |  FROM xx WHERE k7 = 4
+       |  UNION ALL SELECT $quantPerson || ':::' || $quantGpe, 'nsubj-1:visit:dobj'
+       |  FROM xx WHERE k7 = 6
        |  UNION ALL SELECT $moneyPerson || ':::' || $moneyObj, 'nsubj-1:pay:dobj'
        |  FROM xx WHERE k7 = 3
        |  UNION ALL SELECT $sp1 || ':::' || $sp2, 'nsubj-1:marry:dobj'
@@ -492,6 +535,8 @@ object OracleSql {
        |  UNION ALL
        |  SELECT 'visit nsubj:PERSON dobj:GPE' FROM bb WHERE ri = 2
        |  UNION ALL SELECT 'tour nsubj:PERSON dobj:GPE' FROM xx WHERE k7 IN (1, 4)
+       |  UNION ALL SELECT 'visit nsubj:PERSON dobj:' || $quantNoun
+       |  FROM xx WHERE k7 = 6
        |  UNION ALL SELECT 'pay nsubj:PERSON dobj:MONEY' FROM xx WHERE k7 = 3
        |  UNION ALL SELECT 'marry nsubj:PERSON dobj:PERSON' FROM xx WHERE k7 = 5
        |) GROUP BY 1""".stripMargin
@@ -515,6 +560,8 @@ object OracleSql {
        |            ' dobj:' || lower($tourGpe) FROM xx WHERE k7 = 1
        |  UNION ALL SELECT 'tour nsubj:' || lower($nameWord) ||
        |            ' dobj:' || lower($tourGpe) FROM xx WHERE k7 = 4
+       |  UNION ALL SELECT 'visit nsubj:' || ${lastOf(quantPerson)} ||
+       |            ' dobj:' || $quantNoun FROM xx WHERE k7 = 6
        |  UNION ALL SELECT 'pay nsubj:' || ${lastOf(moneyPerson)} ||
        |            ' dobj:million' FROM xx WHERE k7 = 3
        |  UNION ALL SELECT 'marry nsubj:' || ${lastOf(sp1)} ||
@@ -547,6 +594,9 @@ object OracleSql {
        |            $tourText FROM xx WHERE k7 = 1
        |  UNION ALL SELECT 'tour nsubj:PERSON dobj:GPE', 'person tour gpe',
        |            $nameText FROM xx WHERE k7 = 4
+       |  UNION ALL SELECT 'visit nsubj:PERSON dobj:' || $quantNoun,
+       |            'person visit ' || $quantNoun, $quantText
+       |  FROM xx WHERE k7 = 6
        |  UNION ALL SELECT 'pay nsubj:PERSON dobj:MONEY', 'person pay money',
        |            $moneyText FROM xx WHERE k7 = 3
        |  UNION ALL SELECT 'marry nsubj:PERSON dobj:PERSON', 'person marry person',
@@ -573,10 +623,98 @@ object OracleSql {
        |          lower($tourGpe) FROM xx WHERE k7 = 1
        |UNION ALL SELECT CAST(id AS VARCHAR), lower($nameWord), 'tour',
        |          lower($tourGpe) FROM xx WHERE k7 = 4
+       |UNION ALL SELECT CAST(id AS VARCHAR), ${lastOf(quantPerson)}, 'visit',
+       |          $quantNoun FROM xx WHERE k7 = 6
        |UNION ALL SELECT CAST(id AS VARCHAR), ${lastOf(moneyPerson)}, 'pay',
        |          'million' FROM xx WHERE k7 = 3
        |UNION ALL SELECT CAST(id AS VARCHAR), ${lastOf(sp1)}, 'marry',
        |          ${lastOf(sp2)} FROM xx WHERE k7 = 5""".stripMargin
+
+  /** The full path-repr inventory as a VALUES table — a pure function of
+    * the (finite) generator grammar: one (type1, path, type2, repr) per
+    * typed path, reprs being the shortest linearization each path
+    * produces (the repr-table merge keeps the shortest). */
+  private lazy val reprValues: String = {
+    val rows = Gen.predPaths.zip(Gen.predPhrases).map { case (p, ph) =>
+      s"('PERSON','$p','GPE','person $ph gpe')"
+    } ++ Seq(
+      "('PERSON','nsubj-1:tour:dobj','GPE','person toured gpe')",
+      "('PERSON','nsubj-1:pay:dobj','MONEY','person paid money')",
+      "('PERSON(1)','nsubj-1:marry:dobj','PERSON(2)','person(1) married person(2)')")
+    s"rp(type1, path, type2, repr) AS (VALUES ${rows.mkString(", ")})"
+  }
+
+  /** F5: normalized-POS histogram — per-sentence-type token tag counts
+    * recomputed from the grammar (the tokenizer/POS contract). */
+  val kgPosHistogram: String =
+    s"""$baseCte$xtraCte,
+       |cnt(tag, n) AS (
+       |  SELECT 'nn', 2 FROM documents d WHERE d.doc_id % 2 = 0
+       |  UNION ALL SELECT 'vb', 1 FROM documents d WHERE d.doc_id % 2 = 0
+       |  UNION ALL SELECT 'o',
+       |    3 + CASE WHEN d.doc_id % 6 = 0 THEN 1 ELSE 0 END
+       |  FROM documents d WHERE d.doc_id % 2 = 0
+       |  UNION ALL SELECT 'nnp', 3 FROM bb
+       |  UNION ALL SELECT 'vb', CASE WHEN ri = 5 THEN 2 ELSE 1 END FROM bb
+       |  UNION ALL SELECT 'o', CASE WHEN ri = 2 THEN 1 ELSE 2 END FROM bb
+       |  UNION ALL SELECT 'nnp', CASE k7 WHEN 1 THEN 3 WHEN 2 THEN 1
+       |    WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 4 ELSE 3 END FROM xx
+       |  UNION ALL SELECT 'nn', 1 FROM xx WHERE k7 IN (3, 6)
+       |  UNION ALL SELECT 'vb', 1 FROM xx
+       |  UNION ALL SELECT 'o', CASE k7 WHEN 2 THEN 2 WHEN 3 THEN 3
+       |    WHEN 6 THEN 3 ELSE 1 END FROM xx
+       |)
+       |SELECT tag, CAST(sum(n) AS BIGINT) AS cnt FROM cnt GROUP BY 1""".stripMargin
+
+  /** F14: only the bornIn sentences decode — every other candidate must
+    * go through the soft matcher, where the same-path same-relation
+    * negative rule vetoes it. */
+  val kgVchRuleTriples: String =
+    s"""$baseCte$xtraCte
+       |SELECT CAST(id AS VARCHAR) AS doc_id,
+       |  ($personsL)[pi+1] AS subj, 'bornIn' AS pred,
+       |  CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END AS obj
+       |FROM bb WHERE ri = 5""".stripMargin
+
+  /** O5/J4-fuzzy: the six exact-resolved rules plus residesIn resolved
+    * to the argmin-Levenshtein repr, tie-broken (d, repr, type1, path,
+    * type2) exactly like the Scala min-struct. */
+  lazy val kgFuzzyRules: String =
+    s"""WITH $reprValues,
+       |best AS (
+       |  SELECT type1, path, type2 FROM rp
+       |  ORDER BY levenshtein(repr, 'person resides in gpe'),
+       |           repr, type1, path, type2
+       |  LIMIT 1)
+       |SELECT * FROM ($kgRules)
+       |UNION ALL
+       |SELECT type1 || '--' || path || '--' || type2,
+       |       'residesIn',
+       |       type1 || '--' || path || '--' || type2 || ' = residesIn'
+       |FROM best""".stripMargin
+
+  /** A11: embedding-centroid bootstrap scores over the repr inventory —
+    * vectors are sums of the fixed word embedding, centroid = the seed
+    * repr's vector, score = round(cosine, 6). */
+  lazy val kgBootstrapEmbScores: String = {
+    val emb = graft.pipeline.KgPipeline.bootstrapEmbedding.toSeq.sortBy(_._1)
+      .map { case (w, v) => s"('$w',${v(0)},${v(1)})" }.mkString(", ")
+    s"""WITH $reprValues,
+       |emb(w, x, y) AS (VALUES $emb),
+       |rw AS (SELECT type1, path, type2, repr,
+       |              unnest(string_split(repr, ' ')) AS w FROM rp),
+       |rv AS (SELECT type1, path, type2, repr,
+       |              coalesce(sum(e.x), 0) AS vx, coalesce(sum(e.y), 0) AS vy
+       |       FROM rw LEFT JOIN emb e ON e.w = rw.w GROUP BY 1, 2, 3, 4),
+       |cen AS (SELECT vx AS cx, vy AS cy FROM rv
+       |        WHERE repr = 'person lives in gpe')
+       |SELECT type1, path, type2, repr,
+       |  round(CASE WHEN sqrt(vx*vx + vy*vy) = 0 OR sqrt(cx*cx + cy*cy) = 0
+       |             THEN 0.0
+       |             ELSE (cx*vx + cy*vy) / sqrt(cx*cx + cy*cy)
+       |                  / sqrt(vx*vx + vy*vy) END, 6) AS score
+       |FROM rv, cen WHERE repr <> 'person lives in gpe'""".stripMargin
+  }
 
   val kgRules: String =
     s"""$baseCte,
@@ -601,7 +739,10 @@ object OracleSql {
        |FROM xx WHERE k7 = 2
        |UNION ALL
        |SELECT CAST(id AS VARCHAR), $namePerson, 'visited', $tourGpe
-       |FROM xx WHERE k7 = 4""".stripMargin
+       |FROM xx WHERE k7 = 4
+       |UNION ALL
+       |SELECT CAST(id AS VARCHAR), $quantPerson, 'visited', $quantGpe
+       |FROM xx WHERE k7 = 6""".stripMargin
 
   /** X2 coref slice: the pronoun sentences' triples alone — subject is
     * always the resolved antecedent. */
@@ -662,6 +803,9 @@ object OracleSql {
        |  UNION ALL SELECT id, $moneyPerson || '/nnp' FROM xx WHERE k7 = 3
        |  UNION ALL SELECT id, $sp1 || '/nnp' FROM xx WHERE k7 = 5
        |  UNION ALL SELECT id, $sp2 || '/nnp' FROM xx WHERE k7 = 5
+       |  UNION ALL SELECT id, $quantNoun FROM xx WHERE k7 = 6
+       |  UNION ALL SELECT id, $quantPerson || '/nnp' FROM xx WHERE k7 = 6
+       |  UNION ALL SELECT id, $quantGpe || '/nnp' FROM xx WHERE k7 = 6
        |)""".stripMargin
 
   /** Embedding-backed soft matching: with movedTo removed, `moved to`
@@ -684,7 +828,10 @@ object OracleSql {
        |FROM xx WHERE k7 = 2
        |UNION ALL
        |SELECT CAST(id AS VARCHAR), $namePerson, 'visited', $tourGpe
-       |FROM xx WHERE k7 = 4""".stripMargin
+       |FROM xx WHERE k7 = 4
+       |UNION ALL
+       |SELECT CAST(id AS VARCHAR), $quantPerson, 'visited', $quantGpe
+       |FROM xx WHERE k7 = 6""".stripMargin
 
   /** Term doc/total frequencies (A3) over the combined term+name set. */
   val kgTermCounts: String =

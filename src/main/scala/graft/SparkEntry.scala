@@ -57,6 +57,11 @@ object SparkEntry {
     "kg_coref_triples" -> ((s, dir) => KgPipeline.corefTriples(s, dir)),
     "kg_event_bootstrap_scores" -> ((s, dir) =>
       KgPipeline.eventBootstrapScores(s, dir)),
+    "kg_pos_histogram" -> ((s, dir) => KgPipeline.posHistogram(s, dir)),
+    "kg_vch_rule_triples" -> ((s, dir) => KgPipeline.vchRuleTriples(s, dir)),
+    "kg_fuzzy_rules" -> ((s, dir) => KgPipeline.fuzzyRules(s, dir)),
+    "kg_bootstrap_emb_scores" -> ((s, dir) =>
+      KgPipeline.bootstrapEmbScores(s, dir)),
     "q1_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -102,6 +107,10 @@ object SparkEntry {
     "kg_symmetric_triples" -> OracleSql.kgSymmetricTriples,
     "kg_coref_triples" -> OracleSql.kgCorefTriples,
     "kg_event_bootstrap_scores" -> OracleSql.kgEventBootstrapScores,
+    "kg_pos_histogram" -> OracleSql.kgPosHistogram,
+    "kg_vch_rule_triples" -> OracleSql.kgVchRuleTriples,
+    "kg_fuzzy_rules" -> OracleSql.kgFuzzyRules,
+    "kg_bootstrap_emb_scores" -> OracleSql.kgBootstrapEmbScores,
     "q1_agg" -> """SELECT l_returnflag, l_linestatus,
       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,

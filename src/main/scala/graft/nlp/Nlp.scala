@@ -283,10 +283,16 @@ object Nlp {
           if (o0 > 0 && tokens(o0 - 1).pos == "DT") arcs += mk("det", o, o0 - 1)
           if (o > 0 && tokens(o - 1).pos == "NNP" && tokens(o).pos == "NNP")
             arcs += mk("nn", o, o - 1)
-          // trailing PP after the object ("V NP in NP"): prep + pobj
+          // trailing PP after the object ("V NP in NP"): prep + pobj.
+          // Attachment: an "of" PP is partitive and attaches to the
+          // preceding object noun ("a group OF reports" — the Stanford
+          // convention that puts quantifier hops ON the path, which is
+          // what DepPathRegularizer collapses); other preps attach to
+          // the verb (locative "met NP in NP").
           val prepIdx = (o + 1 until tokens.length).find(tokens(_).pos == "IN")
           prepIdx.foreach { pi =>
-            arcs += mk("prep", main, pi)
+            val gov = if (tokens(pi).word.equalsIgnoreCase("of")) o else main
+            arcs += mk("prep", gov, pi)
             (pi + 1 until tokens.length)
               .find(k => tokens(k).pos == "NNP" || tokens(k).pos == "NN")
               .foreach { p0 =>

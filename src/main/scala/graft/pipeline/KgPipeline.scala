@@ -292,6 +292,70 @@ object KgPipeline {
         round(col("recall"), 6).as("recall"))
   }
 
+  /** F5 surfaced end-to-end: normalized-POS histogram over every token
+    * the NLP stage produces — normalizePos buckets Penn tags to
+    * {nnp, nn, vb, o} (DepPaths.java:272-280). One narrow flatMap + one
+    * 4-group hash agg; doubles as a tokenizer/POS-tagger audit (any
+    * drifted tag shows up as a count mismatch vs the grammar oracle). */
+  def posHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    annotated(spark, sfDir)
+      .flatMap(d => d.sentences.flatMap(s =>
+        s.tokens.map(t => graft.nlp.Nlp.normalizePos(t.pos))))
+      .toDF("tag")
+      .groupBy(col("tag")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** F14 surfaced end-to-end, load-bearing: an EXTERNALLY-supplied rule
+    * whose path still carries a verb-chain hop
+    * (RelaxedDepPathRelationTagger.java:85-91 — this pipeline's own
+    * mining never emits `:vch:`, so only simplifyForTagging can make
+    * such a rule match). The same path is supplied as positive AND
+    * negative: if the tagger failed to simplify, no candidate would
+    * exact-match, every soft match would be vetoed by the equal-distance
+    * same-relation negative (NegDiscount 0.8 < 1), and the output would
+    * be EMPTY — the gate rows exist only because both rule paths
+    * simplify to the vch-free born path and born candidates exact-match
+    * (the exact hash lookup bypasses negatives, like the reference). */
+  def vchRuleTriples(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = "nsubj-1:be:vch:born:prep:in:pobj"
+    val rules = Seq(
+      RelationRule("PERSON", path, "GPE", "bornIn", invert = false, positive = true),
+      RelationRule("PERSON", path, "GPE", "bornIn", invert = false, positive = false))
+    TaggerStage.triples(instances(spark, sfDir), rules).toDF()
+  }
+
+  /** O5/J4-fuzzy surfaced end-to-end: a seed phrase with NO exact or
+    * swap12 repr match ("person resides in gpe") resolves through the
+    * distributed argmin-edit-distance fallback
+    * (DepPathMap.java:241-302 findClosestPath). */
+  def fuzzyRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val repr = DepPathsStage.pathReprTable(instances(spark, sfDir))
+    val rules = TaggerStage.rulesFromSeedsFuzzy(spark, repr,
+      seedPhrases + ("residesIn" -> "person resides in gpe"))
+    Export.rulesTable(spark, rules)
+  }
+
+  /** Fixed tiny word embedding for the A11 bootstrap scorer gate — the
+    * fixture role Gen plays elsewhere: both engines score against the
+    * same vectors, so the oracle hash-verifies real cosine arithmetic. */
+  val bootstrapEmbedding: Map[String, Array[Double]] = Map(
+    "person" -> Array(1.0, 0.2), "gpe" -> Array(0.2, 1.0),
+    "lives" -> Array(0.9, 0.1), "visited" -> Array(0.5, 0.5),
+    "works" -> Array(0.8, 0.3), "moved" -> Array(0.6, 0.4),
+    "born" -> Array(0.3, 0.8), "died" -> Array(0.2, 0.9),
+    "in" -> Array(0.4, 0.1), "to" -> Array(0.1, 0.4),
+    "was" -> Array(0.05, 0.05), "toured" -> Array(0.45, 0.55))
+
+  /** A11 surfaced end-to-end: the embedding-centroid bootstrap scorer
+    * (IcePath.java:176-191 + WordEmbedding.java:87-128) — candidate
+    * score = cosine(seed-repr centroid, repr vector), vectors = sums of
+    * word vectors, scored in a narrow map over the repr table. */
+  def bootstrapEmbScores(spark: SparkSession, sfDir: String): DataFrame =
+    BootstrapStage.embeddingScores(
+      DepPathsStage.pathReprTable(instances(spark, sfDir)),
+      seedReprs = Set("person lives in gpe"), bootstrapEmbedding)
+
   def canonicalTriples(spark: SparkSession, sfDir: String): DataFrame =
     Canonicalize.canonicalTriples(triples(spark, sfDir),
       graft.nlp.Nlp.gpeCanonical).toDF()

@@ -122,9 +122,14 @@ object Gen {
   //   resolution must skip later persons with OTHER last names)
   // id % 7 == 5: "P1 married P2."     — a symmetric PERSON-PERSON
   //   predicate (exercises (1)/(2) subscripts + swap12 seed resolution)
+  // id % 7 == 6: "P visited a group of G." — a quantifier hop (F13):
+  //   the mined path "nsubj-1:visit:dobj:group:prep:of:pobj" must
+  //   regularize to the plain visit path (DepPathRegularizer.java:22-73),
+  //   so these sentences decode through the visited rule end-to-end
 
   def extraKind(id: Long): Int = (id % 7) match {
-    case 1 => 1; case 3 => 2; case 5 => 3; case 2 => 4; case 4 => 5; case _ => 0
+    case 1 => 1; case 3 => 2; case 5 => 3; case 2 => 4; case 4 => 5
+    case 6 => 6; case _ => 0
   }
 
   def tourSentence(id: Long): String = {
@@ -194,12 +199,26 @@ object Gen {
     s"${partialName(id)} toured $g."
   }
 
+  /** Quantifier nouns for the F13 sentence — every member is in
+    * `Paths.quantifiers`, so the quantifier hop always collapses. */
+  val quantNouns: IndexedSeq[String] =
+    Vector("group", "number", "dozen", "series")
+  def quantPersonIdx(id: Long): Int = ((id * 41) % 40).toInt
+  def quantGpeIdx(id: Long): Int = ((id * 43) % 25).toInt
+  def quantNounIdx(id: Long): Int = ((id * 11) % 4).toInt
+  def quantSentence(id: Long): String = {
+    val g = if (usesAlias(id, 0)) gpeAliases(quantGpeIdx(id))
+            else gpes(quantGpeIdx(id))
+    s"${persons(quantPersonIdx(id))} visited a ${quantNouns(quantNounIdx(id))} of $g."
+  }
+
   def extraSentence(id: Long): Option[String] = extraKind(id) match {
     case 1 => Some(tourSentence(id))
     case 2 => Some(moneySentence(id))
     case 3 => Some(marrySentence(id))
     case 4 => Some(pronSentence(id))
     case 5 => Some(nameSentence(id))
+    case 6 => Some(quantSentence(id))
     case _ => None
   }
 

@@ -51,8 +51,9 @@ class ResumeSpec extends SparkSpec {
     assert(snap("annotations") === annBefore, "committed stage was recomputed")
     assert(snap("triples") !== triBefore, "uncommitted stage was not recomputed")
     // 999 base triples + 72 tour + 72 pronoun-coref + 71 partial-name
-    // sentences, all soft-matched to `visited`
-    assert(io.read("triples").count() === 1214L)
+    // sentences (soft-matched to `visited`) + 71 quantifier sentences
+    // (F13-regularized to the exact visit path)
+    assert(io.read("triples").count() === 1285L)
   }
 
   test("hard kill (Runtime.halt mid-run) and resume: committed " +
