@@ -434,6 +434,125 @@ object OracleSql {
       |  AND pt.term NOT LIKE 'www.%' AND pt.term NOT LIKE 'http%'
       |  AND pt.term NOT LIKE '%@%'""".stripMargin)
 
+  /** Shared dense-feature CTEs for the expander oracles (A13/A14): the
+    * PMI index chain, a context-ordered vocabulary, rounded per-term
+    * total-PMI scores, the capped pool, one dense feature vector per
+    * pool term. MATERIALIZED where referenced repeatedly — the unrolled
+    * clustering would otherwise inline the chain exponentially. */
+  private lazy val expanderCtes: String =
+    s"""${pmiIdxCtes(plainCells)},
+       |vocab AS MATERIALIZED (
+       |  SELECT context, row_number() OVER (ORDER BY context) AS ci
+       |  FROM (SELECT DISTINCT context FROM idx)),
+       |tscore AS (SELECT term, round(sum(pmi), 6) AS score FROM idx GROUP BY 1),
+       |pool AS (SELECT term, score,
+       |         row_number() OVER (ORDER BY score DESC, term) AS pi
+       |         FROM tscore ORDER BY score DESC, term LIMIT 20),
+       |feats AS MATERIALIZED (
+       |  SELECT p.pi, p.term, p.score,
+       |         list(coalesce(i.pmi, 0.0) ORDER BY v.ci) AS x
+       |  FROM pool p CROSS JOIN vocab v
+       |  LEFT JOIN idx i ON i.term = p.term AND i.context = v.context
+       |  GROUP BY p.pi, p.term, p.score)""".stripMargin
+
+  /** A13 oracle: the agglomerative clustering UNROLLED — one generated
+    * CTE block per potential merge step (19 = pool cap - 1), each step
+    * recomputing centroids, pairwise gravitation (cosine rounded to 6 dp
+    * exactly like Expanders.recommendSeeds), the argmax pair with the
+    * same (g desc, i, j) tie-break, and the stop conditions
+    * (merged size > 4, clusters < 3). Cluster identity = the minimal
+    * pool index of its members, which is exactly the Scala vector
+    * position root. */
+  lazy val kgSeedRecommendation: String = {
+    def step(k: Int): String = {
+      val p = k - 1
+      val cos =
+        s"""round(CASE WHEN sqrt(list_dot_product(ca.cen, ca.cen)) = 0
+           |            OR sqrt(list_dot_product(cb.cen, cb.cen)) = 0 THEN 0.0
+           |       ELSE list_dot_product(ca.cen, cb.cen) /
+           |            (sqrt(list_dot_product(ca.cen, ca.cen)) *
+           |             sqrt(list_dot_product(cb.cen, cb.cen))) END, 6)""".stripMargin
+      s"""c$k AS MATERIALIZED (SELECT root, list(v ORDER BY ci) AS cen FROM (
+         |    SELECT a.root AS root, ci.ci AS ci, avg(f.x[ci.ci]) AS v
+         |    FROM s$p a JOIN feats f ON f.pi = a.item
+         |    CROSS JOIN (SELECT ci FROM vocab) ci(ci)
+         |    GROUP BY a.root, ci.ci) GROUP BY root),
+         |ms$k AS MATERIALIZED (SELECT a.root, max(f.score) AS ms
+         |  FROM s$p a JOIN feats f ON f.pi = a.item GROUP BY 1),
+         |b$k AS MATERIALIZED (
+         |  SELECT ca.root AS ri, cb.root AS rj,
+         |    (msa.ms * msb.ms) / ((1.0 - $cos + 1e-9) * (1.0 - $cos + 1e-9)) AS g
+         |  FROM c$k ca JOIN c$k cb ON ca.root < cb.root
+         |  JOIN ms$k msa ON msa.root = ca.root JOIN ms$k msb ON msb.root = cb.root
+         |  ORDER BY g DESC, ri, rj LIMIT 1),
+         |z$k AS MATERIALIZED (SELECT
+         |  (SELECT count(*) FROM s$p a, b$k b
+         |   WHERE a.root = b.ri OR a.root = b.rj) AS msz,
+         |  (SELECT count(DISTINCT root) FROM s$p) AS nc,
+         |  (SELECT bool_or(stopped) FROM s$p) AS stp),
+         |s$k AS MATERIALIZED (
+         |  SELECT a.item,
+         |    CASE WHEN NOT (z.stp OR z.nc < 3 OR z.msz > 4) AND a.root = b.rj
+         |         THEN b.ri ELSE a.root END AS root,
+         |    (z.stp OR z.nc < 3 OR z.msz > 4) AS stopped
+         |  FROM s$p a, b$k b, z$k z)""".stripMargin
+    }
+    val maxSteps = 19
+    s"""$fillerCte,
+       |$expanderCtes,
+       |s0 AS MATERIALIZED (SELECT pi AS item, pi AS root, false AS stopped
+       |  FROM feats),
+       |${(1 to maxSteps).map(step).mkString(",\n")},
+       |bestc AS (
+       |  SELECT a.root FROM s$maxSteps a JOIN feats f ON f.pi = a.item
+       |  GROUP BY a.root
+       |  ORDER BY max(f.score) DESC,
+       |           len(min(CASE WHEN f.pi = a.root THEN f.term END)) ASC,
+       |           a.root ASC
+       |  LIMIT 1)
+       |SELECT CAST(row_number() OVER (ORDER BY f.score DESC, f.term) AS INT)
+       |         AS rank, f.term
+       |FROM s$maxSteps a
+       |JOIN feats f ON f.pi = a.item
+       |JOIN bestc b ON a.root = b.root""".stripMargin
+  }
+
+  /** A14 oracle: the MIRA update sequence as a recursive CTE — one
+    * iteration per (epoch, example) visiting pool terms in term order,
+    * hinge update tau = min(0.5, loss/||x||²), 50 epochs; final weights
+    * score every term. Dense vectors in context order make the dot
+    * products bit-identical to the Scala sorted-map iteration. */
+  lazy val kgMiraScores: String = {
+    val seeds = s"'${Gen.fillNouns(0)}','${Gen.fillNouns(1)}'"
+    s"""${fillerCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |$expanderCtes,
+       |ex AS MATERIALIZED (
+       |  SELECT term, x, row_number() OVER (ORDER BY term) AS ti,
+       |         CASE WHEN term IN ($seeds) THEN 1.0 ELSE -1.0 END AS y
+       |  FROM feats),
+       |nn AS (SELECT count(*) AS n FROM ex),
+       |mira(t, w) AS (
+       |  -- the recursion's column type is pinned by this seed row: the
+       |  -- 0.0 literal is DECIMAL(2,1), and without the DOUBLE cast
+       |  -- every computed weight would be silently truncated to one
+       |  -- decimal on re-entry
+       |  SELECT 0, (SELECT list(CAST(0.0 AS DOUBLE) ORDER BY ci) FROM vocab)
+       |  UNION ALL
+       |  SELECT m.t + 1,
+       |    CASE WHEN greatest(0.0, 1.0 - e.y * list_dot_product(m.w, e.x)) > 0
+       |              AND list_dot_product(e.x, e.x) > 0
+       |         THEN list_transform(range(1, len(m.w) + 1),
+       |                i -> m.w[i] + least(0.5,
+       |                       greatest(0.0, 1.0 - e.y * list_dot_product(m.w, e.x))
+       |                       / list_dot_product(e.x, e.x)) * e.y * e.x[i])
+       |         ELSE m.w END
+       |  FROM mira m, ex e, nn
+       |  WHERE e.ti = (m.t % nn.n) + 1 AND m.t < 50 * nn.n
+       |)
+       |SELECT e.term, round(list_dot_product(mw.w, e.x), 6) AS mira_score
+       |FROM ex e, (SELECT w FROM mira ORDER BY t DESC LIMIT 1) mw""".stripMargin
+  }
+
   val kgTermRank: String =
     s"""$termsCte,
        |fg AS (

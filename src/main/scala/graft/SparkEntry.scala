@@ -62,6 +62,9 @@ object SparkEntry {
     "kg_fuzzy_rules" -> ((s, dir) => KgPipeline.fuzzyRules(s, dir)),
     "kg_bootstrap_emb_scores" -> ((s, dir) =>
       KgPipeline.bootstrapEmbScores(s, dir)),
+    "kg_seed_recommendation" -> ((s, dir) =>
+      KgPipeline.seedRecommendation(s, dir)),
+    "kg_mira_scores" -> ((s, dir) => KgPipeline.miraScores(s, dir)),
     "q1_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -111,6 +114,8 @@ object SparkEntry {
     "kg_vch_rule_triples" -> OracleSql.kgVchRuleTriples,
     "kg_fuzzy_rules" -> OracleSql.kgFuzzyRules,
     "kg_bootstrap_emb_scores" -> OracleSql.kgBootstrapEmbScores,
+    "kg_seed_recommendation" -> OracleSql.kgSeedRecommendation,
+    "kg_mira_scores" -> OracleSql.kgMiraScores,
     "q1_agg" -> """SELECT l_returnflag, l_linestatus,
       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,

@@ -60,10 +60,16 @@ object Expanders {
     // fewer than minClusters clusters remain (merging continues at exactly
     // minClusters — the guard is "< minClusters", not "==")
     while (!done && clusters.length >= minClusters) {
-      // gravitation g = maxScore(c1) * maxScore(c2) / r^2, r = 1 - cosine
+      // gravitation g = maxScore(c1) * maxScore(c2) / r^2, r = 1 - cosine.
+      // The cosine is rounded to 6 dp BEFORE entering r: centroid sums
+      // run in engine-specific order, and the rounding absorbs the ULP
+      // noise so an independent engine (the DuckDB gate oracle)
+      // recomputing the same merges compares identical doubles.
       var best = (-1, -1, -1.0)
       for (i <- clusters.indices; j <- (i + 1) until clusters.length) {
-        val r = 1.0 - cosine(centroid(clusters(i)), centroid(clusters(j))) + 1e-9
+        val cos6 = BigDecimal(cosine(centroid(clusters(i)), centroid(clusters(j))))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val r = 1.0 - cos6 + 1e-9
         val g = clusters(i).map(_.score).max * clusters(j).map(_.score).max / (r * r)
         if (g > best._3) best = (i, j, g)
       }

@@ -165,6 +165,62 @@ object KgPipeline {
     EntitySetStage.expandFiltered(spark, depEvents(spark, sfDir),
       seeds = Set(Gen.fillNouns(0), Gen.fillNouns(1)), minTermTotal = 100.0)
 
+  /** Bounded driver-side view of the entity index for the expander
+    * gates: top-`top` terms by (rounded) total PMI via a distributed
+    * TakeOrderedAndProject, then ONLY those terms' feature rows are
+    * collected (the reference caps recommendation input at 20 and
+    * trains MIRA driver-side — bounded by design, so the collect is
+    * scale-sane). Features are SORTED maps: the expander arithmetic
+    * must sum in context order so the independent oracle's dense-vector
+    * dot products compare bit-identical doubles. */
+  private def topIndexTerms(spark: SparkSession, sfDir: String, top: Int = 20)
+      : Seq[graft.functions.Expanders.ScoredTerm] = {
+    val idx = entityIndex(spark, sfDir).persist()
+    val topTerms = idx.groupBy(col("term"))
+      .agg(round(sum(col("pmi")), 6).as("score"))
+      .orderBy(desc("score"), asc("term")).limit(top)
+    val rows = idx.join(broadcast(topTerms), Seq("term"))
+      .select(col("term"), col("score"), col("context"), col("pmi"))
+      .collect()
+    rows.groupBy(r => (r.getString(0), r.getDouble(1)))
+      .map { case ((t, s), rs) =>
+        graft.functions.Expanders.ScoredTerm(t, s,
+          scala.collection.immutable.SortedMap.from(
+            rs.map(r => r.getString(2) -> r.getDouble(3))))
+      }
+      .toSeq.sortBy(t => (-t.score, t.term))
+  }
+
+  /** A13 surfaced end-to-end: agglomerative seed recommendation
+    * (EntitySetExpander.java:61-217,515-617 shape) over the top-20
+    * entity-index terms; output = the winning cluster's members,
+    * ranked. The DuckDB oracle recomputes every merge step (unrolled)
+    * from the same PMI index. */
+  def seedRecommendation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rec = graft.functions.Expanders.recommendSeeds(
+      topIndexTerms(spark, sfDir))
+    rec.zipWithIndex.map { case (t, i) => (i + 1, t) }.toDF("rank", "term")
+  }
+
+  /** A14 surfaced end-to-end: binary MIRA
+    * (MIRAEntitySetExpander.java:23-144 shape — 50 deterministic
+    * epochs) over the entity index, seeds {budget, report} positive,
+    * every other indexed term negative; output = each term's
+    * final-weight score. Oracle = a DuckDB recursive-CTE recomputation
+    * of the identical update sequence. */
+  def miraScores(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val seeds = Set(Gen.fillNouns(0), Gen.fillNouns(1))
+    val terms = topIndexTerms(spark, sfDir).sortBy(_.term)
+    val examples = terms.map(t => (t.features, seeds(t.term)))
+    val w = graft.functions.Expanders.miraTrain(examples)
+    terms.map { t =>
+      (t.term, BigDecimal(graft.functions.Expanders.miraScore(w, t.features))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("term", "mira_score")
+  }
+
   /** Bootstrap shared-arg candidate scores, seeded with the livesIn
     * path (A10/J2/J3). */
   def bootstrapScores(spark: SparkSession, sfDir: String): DataFrame =
