@@ -893,6 +893,72 @@ object OracleSql {
        |       round(CAST(c.n AS DOUBLE) / (c.n + m.n), 6) AS recall
        |FROM c, s, m""".stripMargin
 
+  /** A15/J9 faithful-scorer oracle: entity alignment = every mention's
+    * head END char offset (string-length arithmetic over the generated
+    * surface forms, cumulative sentence offsets via a window sum);
+    * relation consumption degenerates to 1 key + 1 response per
+    * (doc, unordered offset pair) group on this corpus, so the counts
+    * are: correct = every decoded instance except the withheld diedIn
+    * ones (which respond as bornIn → type errors), money instances
+    * decode on neither side (no PERSON-MONEY rule), and the
+    * opposite-order marriage mentions are correct ONLY via the
+    * symmetric swap alignment. */
+  lazy val kgMentionPr: String = {
+    val fillerText =
+      s"""'The ' || CASE WHEN d.doc_id % 6 = 0 THEN ($adjsL)[CAST((d.doc_id // 6) % 4 AS INT)+1] || ' ' ELSE '' END || ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] || ' ' ||
+         |($fverbsL)[CAST((d.doc_id*23) % 4 AS INT)+1] || ' the ' ||
+         |($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1] || '.'""".stripMargin
+    val mainText =
+      s"""($personsL)[pi+1] || ' ' || ($phrasesL)[ri] || ' ' ||
+         |CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END || '.'""".stripMargin
+    val xtraText =
+      s"""CASE x.k7 WHEN 1 THEN $tourText WHEN 2 THEN $pronText
+         |WHEN 3 THEN $moneyText WHEN 4 THEN $nameText WHEN 5 THEN $marryText
+         |ELSE $quantText END""".stripMargin
+    s"""$baseCte$xtraCte,
+       |flen AS (
+       |  SELECT d.doc_id AS id,
+       |         CASE WHEN d.doc_id % 2 = 0 THEN len($fillerText) ELSE 0 END AS fl
+       |  FROM documents d),
+       |mt AS (SELECT bb.*, $mainText AS mtext, ($personsL)[pi+1] AS pers FROM bb),
+       |mo AS (SELECT mt.*, fl + coalesce(sum(len(mtext)) OVER (
+       |         PARTITION BY mt.id ORDER BY s
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |       FROM mt JOIN flen ON flen.id = mt.id),
+       |xoff AS (SELECT x.id, fl + t.tot AS xo
+       |         FROM xx x JOIN flen ON flen.id = x.id
+       |         JOIN (SELECT id, sum(len(mtext)) AS tot FROM mt GROUP BY 1) t
+       |           ON t.id = x.id),
+       |ents AS (
+       |  SELECT id, off + len(pers) AS e FROM mo
+       |  UNION ALL SELECT id, off + len(mtext) - 1 FROM mo
+       |  UNION ALL SELECT x.id, xo + CASE x.k7
+       |      WHEN 1 THEN len($tourPerson)
+       |      WHEN 2 THEN CASE WHEN ($gendersL)[tpi+1] = 'M' THEN 2 ELSE 3 END
+       |      WHEN 3 THEN len($moneyPerson)
+       |      WHEN 4 THEN len($nameWord)
+       |      WHEN 5 THEN len($sp1)
+       |      ELSE len($quantPerson) END
+       |    FROM xx x JOIN xoff ON xoff.id = x.id
+       |  UNION ALL SELECT x.id, xo + len($xtraText) - 1
+       |    FROM xx x JOIN xoff ON xoff.id = x.id),
+       |ec AS (SELECT count(*) AS n FROM (SELECT DISTINCT id, e FROM ents)),
+       |rc AS (SELECT
+       |  (SELECT count(*) FROM bb WHERE ri <> 6) +
+       |  (SELECT count(*) FROM xx WHERE k7 <> 3) AS c,
+       |  (SELECT count(*) FROM bb WHERE ri = 6) AS t)
+       |SELECT ec.n AS correct_ents,
+       |  CAST(0 AS BIGINT) AS spurious_ents, CAST(0 AS BIGINT) AS missing_ents,
+       |  rc.c AS correct_rels, rc.t AS type_errors,
+       |  CAST(0 AS BIGINT) AS spurious_rels, CAST(0 AS BIGINT) AS missing_rels,
+       |  round(rc.c * 1.0 / (rc.c + rc.t), 6) AS precision,
+       |  round(rc.c * 1.0 / (rc.c + rc.t), 6) AS recall,
+       |  round(2.0 * (rc.c * 1.0 / (rc.c + rc.t)) * (rc.c * 1.0 / (rc.c + rc.t))
+       |        / ((rc.c * 1.0 / (rc.c + rc.t)) + (rc.c * 1.0 / (rc.c + rc.t))), 6)
+       |    AS f1
+       |FROM ec, rc""".stripMargin
+  }
+
   private lazy val adjsL = sqlList(Gen.fillAdjs)
 
   /** Unified term-occurrence set: filler NP suffixes (single nouns +

@@ -65,6 +65,7 @@ object SparkEntry {
     "kg_seed_recommendation" -> ((s, dir) =>
       KgPipeline.seedRecommendation(s, dir)),
     "kg_mira_scores" -> ((s, dir) => KgPipeline.miraScores(s, dir)),
+    "kg_mention_pr" -> ((s, dir) => KgPipeline.mentionPr(s, dir)),
     "q1_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -116,6 +117,7 @@ object SparkEntry {
     "kg_bootstrap_emb_scores" -> OracleSql.kgBootstrapEmbScores,
     "kg_seed_recommendation" -> OracleSql.kgSeedRecommendation,
     "kg_mira_scores" -> OracleSql.kgMiraScores,
+    "kg_mention_pr" -> OracleSql.kgMentionPr,
     "q1_agg" -> """SELECT l_returnflag, l_linestatus,
       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,

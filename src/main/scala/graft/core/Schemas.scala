@@ -43,11 +43,16 @@ final case class AnnotatedDoc(doc_id: String, spans: Seq[SpanT],
 /** One lexicalized-dependency-path instance
   * (cf. models/DepPath.java:20-61 and the `Relations` file format
   * DepPaths.java:543-562). */
+/** `end1`/`end2` are the mentions' head-token END char offsets within
+  * the document — the reference's mention-alignment key
+  * (aceJet/TypedRelationExtractorScorer.java:53-80 aligns entity
+  * mentions by head end offset). */
 final case class PathInstance(doc_id: String, sentIdx: Int,
                               type1: String, type2: String,
                               arg1: String, arg2: String,
                               canon1: String, canon2: String,
-                              path: String, repr: String, example: String)
+                              path: String, repr: String, example: String,
+                              end1: Int, end2: Int)
 
 /** Emitted knowledge-graph triple (replaces the reference's APF output,
   * aceJet/RelaxedDepPathRelationTagger.java:227-259). */

@@ -62,7 +62,9 @@ object DepPathsStage {
               // seed resolution keys on, DepPathMap.java:115-120)
               val repr = Paths.linearize(sent, oNodes, oLabels, t1, t2)
               out += PathInstance(doc.doc_id, si, t1, t2, m1.surface, m2.surface,
-                m1.canonical, m2.canonical, path, repr, sent.text)
+                m1.canonical, m2.canonical, path, repr, sent.text,
+                sent.offset + sent.tokens(m1.head).end,
+                sent.offset + sent.tokens(m2.head).end)
             }
             blocked(m1.head) = true; blocked(m2.head) = true
           }

@@ -161,6 +161,28 @@ object TaggerStage {
     }
   }
 
+  /** Mention-level decode view for the reference-faithful scorer
+    * (A15/J9): each decoded candidate as (doc_id, pred, a1_end, a2_end)
+    * — head END char offsets in DECODED argument order (swapped when
+    * the matched rule is inverted), the alignment key of the
+    * reference's APF relation mentions
+    * (TypedRelationExtractorScorer.java:53-80). Same narrow
+    * broadcast-rule flatMap as [[triples]] — no shuffle. */
+  def mentionDecodes(candidates: Dataset[PathInstance],
+                     rules: Seq[RelationRule],
+                     wordSim: (String, String) => Double = exactSim)
+      : DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(ruleState(rules))
+    candidates.flatMap { c =>
+      decode(c, bc.value, wordSim).map { case (rel, invert) =>
+        if (invert) (c.doc_id, rel, c.end2, c.end1)
+        else (c.doc_id, rel, c.end1, c.end2)
+      }
+    }.toDF("doc_id", "pred", "a1_end", "a2_end")
+  }
+
   /** Like [[triples]] but keeps the canonical argument forms — value
     * mentions decode to their normalized numeric value (F12), names to
     * their gazetteer canonical. */

@@ -412,6 +412,45 @@ object KgPipeline {
       DepPathsStage.pathReprTable(instances(spark, sfDir)),
       seedReprs = Set("person lives in gpe"), bootstrapEmbedding)
 
+  /** Every mention head as `(doc_id, head_end)` — the entity tables of
+    * the faithful mention scorer. */
+  private def mentionHeads(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    annotated(spark, sfDir).flatMap(d => d.sentences.flatMap(s =>
+        s.names.map(n => (d.doc_id, s.offset + s.tokens(n.head).end))))
+      .toDF("doc_id", "head_end")
+  }
+
+  /** A15/J9 in the reference-faithful form (the north-rule P/R
+    * evidence): `Export.scoreMentions` with head-offset entity and
+    * relation-mention tables and the reference's one-to-one CONSUMPTION
+    * semantics. Key = full-rule decode (incl. the swap12-resolved
+    * marriedBy, decoded INVERTED); response = diedIn withheld (its
+    * candidates soft-match bornIn → type errors, counted in both P and
+    * R denominators) and marriedBy resolved through the DIRECT seed, so
+    * key and response emit the marriage offsets in OPPOSITE order and
+    * only the symmetric-predicate swap alignment
+    * (TypedRelationExtractorScorer.java:97-137) scores them correct. */
+  def mentionPr(spark: SparkSession, sfDir: String): DataFrame = {
+    val inst = instances(spark, sfDir).persist()
+    val repr = DepPathsStage.pathReprTable(inst)
+    val keyRules = TaggerStage.rulesFromSeeds(spark, repr,
+      seedPhrases + ("marriedBy" -> "person(2) married person(1)"))
+    val respRules = TaggerStage.rulesFromSeeds(spark, repr,
+      (seedPhrases - "diedIn") + ("marriedBy" -> "person(1) married person(2)"))
+    val ents = mentionHeads(spark, sfDir)
+    Export.scoreMentions(ents, ents,
+        TaggerStage.mentionDecodes(inst, keyRules),
+        TaggerStage.mentionDecodes(inst, respRules),
+        symmetricPreds = Set("marriedBy"))
+      .select(col("correct_ents"), col("spurious_ents"), col("missing_ents"),
+        col("correct_rels"), col("type_errors"), col("spurious_rels"),
+        col("missing_rels"),
+        round(col("precision"), 6).as("precision"),
+        round(col("recall"), 6).as("recall"),
+        round(col("f1"), 6).as("f1"))
+  }
+
   def canonicalTriples(spark: SparkSession, sfDir: String): DataFrame =
     Canonicalize.canonicalTriples(triples(spark, sfDir),
       graft.nlp.Nlp.gpeCanonical).toDF()

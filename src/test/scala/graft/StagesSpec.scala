@@ -80,7 +80,7 @@ class StagesSpec extends SparkSpec {
   test("shared-arg bootstrap scoring") {
     import graft.core.PathInstance
     def pi(arg1: String, path: String, arg2: String) =
-      PathInstance("d", 0, "PERSON", "GPE", arg1, arg2, arg1, arg2, path, "r", "e")
+      PathInstance("d", 0, "PERSON", "GPE", arg1, arg2, arg1, arg2, path, "r", "e", 0, 0)
     val inst = spark.createDataset(Seq(
       pi("A", "seed:path", "X"), pi("B", "seed:path", "Y"),
       pi("A", "cand:one", "X"), // shares (A,X) with seed
@@ -97,7 +97,7 @@ class StagesSpec extends SparkSpec {
   test("bootstrap iterate: rejected candidates are excluded (anti-join)") {
     import graft.core.PathInstance
     def pi(arg1: String, path: String, arg2: String) =
-      PathInstance("d", 0, "PERSON", "GPE", arg1, arg2, arg1, arg2, path, path, "e")
+      PathInstance("d", 0, "PERSON", "GPE", arg1, arg2, arg1, arg2, path, path, "e", 0, 0)
     val inst = spark.createDataset(Seq(
       pi("A", "seed:path", "X"),
       pi("A", "cand:one", "X"), pi("A", "cand:two", "X")))
