@@ -71,9 +71,23 @@ object DataQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- dedup family ---
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
-    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
+    // n-gram Jaccard dedup SHIPS through the banded-LSH path at its 0.7
+    // threshold (32×3 bands miss a j=0.7 pair with prob ~1.4e-6;
+    // candidates are exact-Jaccard verified, so precision is 1). The
+    // brute Dedup.ngramJaccard shingle self-join is demoted to
+    // verification-oracle duty (tests + the DuckDB gate), where its
+    // O(all-pairs) cost never touches a production corpus.
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.minhashLsh(docs(s, d), threshold = 0.7)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
-    "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(docs(s, d))),
+    // ORACLE-PARITY CONFIG, pinned explicitly: radius 15 (16×4-bit
+    // bands) is the only radius at which simhash blocking reaches every
+    // Jaccard-0.8 fixture pair, so the independent Jaccard oracle
+    // doubles as a complete blocking-recall check. The operator's
+    // shipped default is the classic scalable radius 3 (4×16-bit bands,
+    // 65k bucket values — see Dedup.bandScheme); high-radius Jaccard
+    // dedup at 100 TB belongs to minhashLsh above.
+    "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(docs(s, d), maxDist = 15)),
     // near-dup cluster canonicalization: connected components over the
     // LSH-verified near-dup pairs, representative = min doc in the
     // cluster — the "keep one survivor per dup cluster" op of a
@@ -87,6 +101,11 @@ object DataQueries {
     }),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupLsh(emb(s, d))),
     // --- similarity search ---
+    // EXACT BASELINE, not a scale path: brute-force top-k scans the
+    // whole corpus per query — it exists as the ground truth the
+    // ann_lsh/ann_ivf recall gates are scored against (and as the small
+    // query-set exact surface). Production ANN at 100 TB is ann_lsh /
+    // ann_ivf below, whose bucketed joins are plan-asserted in PlanSpec.
     "ann_topk" -> ((s, d) => Ann.bruteForceTopK(emb(s, d))),
     "ann_lsh" -> ((s, d) => Ann.lshRecallGate(emb(s, d))),
     "ann_ivf" -> ((s, d) => Ann.ivfRecallGate(emb(s, d))),

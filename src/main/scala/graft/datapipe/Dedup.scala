@@ -54,7 +54,14 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("fp"))
       .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keep_id"))
 
-  /** All pairs with n-gram Jaccard >= threshold (brute shingle join). */
+  /** All pairs with n-gram Jaccard >= threshold (brute shingle join).
+    *
+    * VERIFICATION ORACLE ONLY — not a shipped operator: the full-corpus
+    * distinct-shingle shuffle plus the gram self-join is O(candidate
+    * pairs) over the whole corpus and does not survive 100×. Product
+    * n-gram Jaccard dedup ships through [[minhashLsh]] (banded buckets,
+    * candidates-only exact verify), which this function exists to
+    * cross-check in tests and in the DuckDB gate oracles. */
   def ngramJaccard(docs: DataFrame, n: Int = 3,
                    threshold: Double = 0.7): DataFrame = {
     // persist: consumed three times (size marginals + both self-join
@@ -193,33 +200,53 @@ object Dedup {
     else (0 to ws.length - n).map(i => ws.slice(i, i + n).mkString(" ")).distinct
   }
 
+  /** Band scheme for exact pigeonhole blocking at `maxDist`: cut the
+    * 64-bit signature into the FEWEST bands that still guarantee a pair
+    * within `maxDist` flipped bits leaves at least one band untouched
+    * (bands > maxDist, rounded up to a power of two dividing 64). Fewer
+    * bands mean wider bucket keys, so the bucket population — the
+    * n²-growth surface of the blocking join — shrinks exponentially as
+    * the radius drops: maxDist 3 → 4 bands × 16 bits (65k bucket values,
+    * the classic scalable config), maxDist 15 → 16 × 4 bits (16 values
+    * per band — fixture/oracle-parity mode only, see [[simhashPairs]]). */
+  def bandScheme(maxDist: Int): (Int, Int) = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist $maxDist out of [0,64)")
+    var bands = 1
+    while (bands <= maxDist) bands *= 2
+    (bands, 64 / bands)
+  }
+
   /** Near-dup pairs with simhash hamming distance <= maxDist over
-    * 3-gram features, blocked on 16 x 4-bit bands covering all 64 bits —
-    * by pigeonhole, a pair within hamming distance 15 must agree on at
-    * least one band: blocking recall is exact for the default `maxDist`.
+    * 3-gram features, blocked on the [[bandScheme]] bands for that
+    * radius — by pigeonhole, a pair within `maxDist` must agree on at
+    * least one band: blocking recall is exact at any configured radius.
     * The far-pair filter runs inside codegen BEFORE the distinct, so
     * band collisions that are not near-dups never reach a shuffle.
     *
-    * Scale note: exact blocking at radius 15 forces 4-bit buckets, so
-    * within-bucket candidate pairs grow as n^2/16 — fine at fixture
-    * scale, deliberate: Jaccard-0.8 true pairs on this corpus reach
-    * distance 14 (measured), and NO exact scheme at that radius has
-    * scalable buckets (t-of-b block-concatenation keys a la Manku
-    * WWW'07 need b >= dist + t, i.e. C(21,10)-ish key explosions).
-    * Classic simhash dedup runs at radius <= 3 with 4 x 16-bit bands
-    * (65k buckets); high-radius Jaccard dedup at 100 TB is
-    * [[minhashLsh]]'s job, whose banded buckets DO scale. */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 15): DataFrame = {
+    * Scale note: the SHIPPED default is the classic radius 3 with
+    * 4 × 16-bit bands (65k bucket values — bucket population, and with
+    * it the n²-in-bucket candidate growth, stays bounded at corpus
+    * scale). Radius 15 (16 × 4-bit bands) remains available because the
+    * fixture's Jaccard-0.8 true pairs reach distance 14 (measured) and
+    * the independent Jaccard oracle can then verify blocking recall
+    * end-to-end — but at that radius NO exact scheme has scalable
+    * buckets (t-of-b block-concatenation keys a la Manku WWW'07 need
+    * b >= dist + t, i.e. C(21,10)-ish key explosions), so high-radius
+    * Jaccard dedup at 100 TB is [[minhashLsh]]'s job, whose banded
+    * buckets DO scale. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val (bands, bits) = bandScheme(maxDist)
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
     val sh = udf((t: String) => simhash(simhashFeatures(t)))
     // persist: the self-join consumes this subtree twice; without it the
     // parquet scan + simhash UDF run once per side (released by the
     // caller's clearCache, like every per-query cache here)
     val sigs = docs.select(col("doc_id"), sh(col("text")).as("sig")).persist()
     val banded = sigs.select(col("doc_id"), col("sig"), posexplode(
-      array((0 until 16).map(b =>
-        shiftright(col("sig"), b * 4).bitwiseAND(lit(0xfL))): _*))
+      array((0 until bands).map(b =>
+        shiftright(col("sig"), b * bits).bitwiseAND(lit(mask))): _*))
       .as(Seq("band", "bkey")))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -234,15 +261,19 @@ object Dedup {
       .distinct()
   }
 
-  /** Simhash near-dup pairs, exact-verified (driver query
-    * `dedup_simhash`): band blocking proposes candidates within hamming
-    * distance `maxDist`, then each candidate pair is verified with the
-    * exact n-gram Jaccard — same output contract as [[ngramJaccard]], so
-    * the independent SQL oracle can recompute the expected pairs. A
-    * blocking recall regression (a true near-dup pair whose simhash
-    * drifts past `maxDist`) surfaces as a row-count mismatch. */
+  /** Simhash near-dup pairs, exact-verified: band blocking proposes
+    * candidates within hamming distance `maxDist`, then each candidate
+    * pair is verified with the exact n-gram Jaccard — same output
+    * contract as [[ngramJaccard]], so the independent SQL oracle can
+    * recompute the expected pairs. A blocking recall regression (a true
+    * near-dup pair whose simhash drifts past `maxDist`) surfaces as a
+    * row-count mismatch. The shipped default radius is 3 (the scalable
+    * [[bandScheme]]); the `dedup_simhash` driver query pins radius 15
+    * explicitly because only that radius reaches every Jaccard-0.8
+    * fixture pair, making the independent Jaccard oracle a complete
+    * recall check. */
   def simhashNearDup(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-                     maxDist: Int = 15): DataFrame = {
+                     maxDist: Int = 3): DataFrame = {
     // persisted: consumed twice (candidate-doc id list + verify join)
     val cand = simhashPairs(docs, maxDist).select(col("ida"), col("idb"))
       .persist()

@@ -118,11 +118,46 @@ class DatapipeSpec extends SparkSpec {
   }
 
   test("simhash near-dup (blocking + exact verify) equals brute n-gram Jaccard here") {
+    // radius 15 = the oracle-parity config (fixture near-dups reach
+    // hamming distance 14); the shipped default radius is 3
     val brute = Dedup.ngramJaccard(docs, threshold = 0.8)
       .select("ida", "idb").as[(Long, Long)].collect().toSet
-    val sh = Dedup.simhashNearDup(docs, threshold = 0.8)
+    val sh = Dedup.simhashNearDup(docs, threshold = 0.8, maxDist = 15)
       .select("ida", "idb").as[(Long, Long)].collect().toSet
     assert(sh === brute)
+  }
+
+  test("shipped simhash radius-3 output = (hamming<=3 pairs) verified at Jaccard 0.8") {
+    // the scalable default config, checked against an in-test brute
+    // recomputation: blocking must be pigeonhole-exact at radius 3 and
+    // verification must keep exactly the true-Jaccard survivors
+    val sigs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().map { case (id, t) => (id, Dedup.simhash(Dedup.simhashFeatures(t))) }
+    val jac = Dedup.ngramJaccard(docs, threshold = 0.8)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs if ida < idb
+      if java.lang.Long.bitCount(sa ^ sb) <= 3 && jac((ida, idb))
+    } yield (ida, idb)).toSet
+    val shipped = Dedup.simhashNearDup(docs, threshold = 0.8)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(shipped === expected)
+  }
+
+  test("band scheme: fewest pigeonhole-exact bands per radius") {
+    assert(Dedup.bandScheme(0) === ((1, 64)))
+    assert(Dedup.bandScheme(3) === ((4, 16)))
+    assert(Dedup.bandScheme(7) === ((8, 8)))
+    assert(Dedup.bandScheme(15) === ((16, 4)))
+    assert(Dedup.bandScheme(17) === ((32, 2)))
+  }
+
+  test("shipped ngram-Jaccard (banded at 0.7) equals the brute oracle here") {
+    val brute = Dedup.ngramJaccard(docs, threshold = 0.7)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(docs, threshold = 0.7)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(lsh === brute)
   }
 
   test("embedding LSH near-dup finds exactly the brute-force cosine pairs here") {

@@ -50,6 +50,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("no shipped dedup/ANN query plans an unbounded pair join") {
+    // the deliberate brute surfaces are excluded by design: ann_topk is
+    // the exact BASELINE, the ann_lsh/ann_ivf RECALL GATES embed that
+    // brute denominator on purpose (their shipped operators lshTopK /
+    // ivfTopK are asserted bucketed in the test above), and the brute
+    // Dedup.ngramJaccard shingle self-join is demoted to
+    // verification-oracle duty (no longer behind any query key).
+    // Every shipped dedup query must join on bounded bucket/band keys.
+    val shipped = Seq("dedup_ngram_jaccard", "dedup_minhash",
+      "dedup_simhash", "dedup_embedding")
+    for (q <- shipped) {
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"shipped query $q planned an unbounded pair join:\n$p")
+    }
+  }
+
   test("contamination broadcasts the benchmark gram table") {
     val p = plan(SparkEntry.queries("text_contamination")(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
