@@ -1029,4 +1029,112 @@ object OracleSql {
     s"""$termsCte
        |SELECT term, CAST(id AS VARCHAR) AS doc_id, count(*) AS cnt
        |FROM t GROUP BY 1, 2""".stripMargin
+
+  private val goldL = sqlList(graft.pipeline.KgPipeline.expansionGold)
+
+  /** Train-mode cost sweep (RelaxedDepPathRelationTagger.java:203-241):
+    * full 216-point grid recomputed from closed-form alignment costs.
+    * With `visited` withheld, the only soft-match decisions are 3-node
+    * candidates (visit/tour/money — all sharing one distance form `dv`:
+    * verb substitution min(r, d+i), two label/word insertions 2i, and an
+    * end-label leg min(2.5, d+i)) against the five 5-node rules, plus
+    * the marriage candidate whose both end labels mismatch (dv plus one
+    * more min(2.5, d+i)). PathsSpec pins these closed forms to the
+    * weighted DP across the entire grid. A cross-relation soft match
+    * can only produce type errors against the full-rule dev key, so
+    * F1 = 2PR/(P+R) with correct = the exact-decoded count E,
+    * keys = E + V (visit-labeled candidates), responses growing with
+    * each matching candidate family; argmax with the (f1 desc, replace,
+    * insert, delete) tie-break. Match threshold: dist/5 < 0.5 ⇔
+    * dist < 2.5 — every lattice distance is a multiple of 0.2, never
+    * within 0.1 of the threshold, so the comparison is float-safe. */
+  lazy val kgTunedCosts: String =
+    s"""$baseCte$xtraCte,
+       |cnts AS (
+       |  SELECT
+       |    (SELECT count(*) FROM bb WHERE ri <> 2) AS e,
+       |    (SELECT count(*) FROM bb WHERE ri = 2)
+       |      + (SELECT count(*) FROM xx WHERE k7 IN (1, 2, 4, 6)) AS v,
+       |    (SELECT count(*) FROM xx WHERE k7 = 3) AS mny,
+       |    (SELECT count(*) FROM xx WHERE k7 = 5) AS mar),
+       |grid(c) AS (SELECT unnest([0.2, 0.4, 0.6, 0.8, 1.0, 1.2])),
+       |sweep AS (
+       |  SELECT r.c AS rc, i.c AS ic, d.c AS dc,
+       |         least(r.c, d.c + i.c) + 2 * i.c
+       |           + least(2.5, d.c + i.c) AS dv,
+       |         least(2.5, d.c + i.c) AS endleg
+       |  FROM grid r, grid i, grid d),
+       |scored AS (
+       |  SELECT rc, ic, dc,
+       |    e * 1.0 / (e + CASE WHEN dv < 2.5 THEN v + mny ELSE 0 END
+       |      + CASE WHEN dv + endleg < 2.5 THEN mar ELSE 0 END) AS p,
+       |    e * 1.0 / (e + v) AS r
+       |  FROM sweep, cnts)
+       |SELECT rc AS replace_cost, ic AS insert_cost, dc AS delete_cost,
+       |       round(CASE WHEN p + r = 0 THEN 0
+       |                  ELSE 2 * p * r / (p + r) END, 6) AS f1
+       |FROM scored ORDER BY f1 DESC, rc, ic, dc LIMIT 1""".stripMargin
+
+  /** Simulation scorer (Simulation.java:17-70): per-rank P/R + ROC of
+    * the expansion ranking vs the gold noun list — tpr = tp/|gold|
+    * (= recall), fpr = fp/(N - |gold|), rocScore's arithmetic. */
+  lazy val kgEntitySim: String = {
+    val goldN = graft.pipeline.KgPipeline.expansionGold.size
+    s"""WITH r AS (
+       |  SELECT term,
+       |         row_number() OVER (ORDER BY score DESC, term) AS rank
+       |  FROM ($kgEntityExpansion)),
+       |rr AS (SELECT CAST(rank AS INT) AS rank, term,
+       |              list_contains($goldL, term) AS is_gold FROM r),
+       |c AS (SELECT rank, term, is_gold,
+       |             sum(CASE WHEN is_gold THEN 1 ELSE 0 END)
+       |               OVER (ORDER BY rank) AS tp,
+       |             (SELECT count(*) FROM rr) AS n
+       |      FROM rr)
+       |SELECT rank, term, is_gold,
+       |       round(tp * 1.0 / rank, 6) AS precision_at,
+       |       round(tp * 1.0 / $goldN, 6) AS recall_at,
+       |       round((rank - tp) * 1.0 / (n - $goldN), 6) AS fpr
+       |FROM c""".stripMargin
+  }
+
+  /** EDT-type dict (JetEngineBuilder.java:104-117): `noun | DEMO:DEMO 1`
+    * lines over the DEMO entity set = sorted seeds + expansion ranking. */
+  lazy val kgEdtDict: String =
+    s"""WITH r AS (SELECT term FROM ($kgEntityExpansion)),
+       |nouns AS (
+       |  SELECT '${Gen.fillNouns(0)}' AS noun
+       |  UNION ALL SELECT '${Gen.fillNouns(1)}'
+       |  UNION ALL SELECT term FROM r)
+       |SELECT noun, 'DEMO' AS etype,
+       |       noun || ' | DEMO:DEMO 1' AS dict_line
+       |FROM nouns""".stripMargin
+
+  /** S11 status-store round-trip: the expected flattened status table —
+    * corpora properties (including the quoting-stress note with colons,
+    * quotes, tabs and a newline, rebuilt here from chr() codes), the
+    * DEMO entity set in expansion-rank order, and one path per relation
+    * from the rule inventory. Any quote/escape corruption in the Spark
+    * side's YAML file round-trip diverges from this recomputation. */
+  lazy val kgStatusRoundtrip: String =
+    s"""WITH exp AS (
+       |  SELECT term,
+       |         row_number() OVER (ORDER BY score DESC, term) AS rn
+       |  FROM ($kgEntityExpansion)),
+       |rel AS (SELECT rel_name, pattern,
+       |               row_number() OVER (PARTITION BY rel_name
+       |                                  ORDER BY pattern) AS rn
+       |        FROM ($kgRules))
+       |SELECT 'corpora' AS section, 'main' AS name,
+       |       'docCount' AS item_key,
+       |       CAST(count(*) AS VARCHAR) AS item_value FROM documents
+       |UNION ALL SELECT 'corpora', 'main', 'source', 'documents.parquet'
+       |UNION ALL SELECT 'corpora', 'main', 'note',
+       |  'synthetic: "interleaved" corpus' || chr(9) || 'with' || chr(9) ||
+       |  'tabs' || chr(10) || 'and a newline'
+       |UNION ALL SELECT 'entitySets', 'DEMO', CAST(rn - 1 AS VARCHAR), term
+       |FROM exp
+       |UNION ALL SELECT 'relations', rel_name, CAST(rn - 1 AS VARCHAR),
+       |  pattern
+       |FROM rel""".stripMargin
 }

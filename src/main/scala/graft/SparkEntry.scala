@@ -66,6 +66,10 @@ object SparkEntry {
       KgPipeline.seedRecommendation(s, dir)),
     "kg_mira_scores" -> ((s, dir) => KgPipeline.miraScores(s, dir)),
     "kg_mention_pr" -> ((s, dir) => KgPipeline.mentionPr(s, dir)),
+    "kg_entity_sim" -> ((s, dir) => KgPipeline.entitySim(s, dir)),
+    "kg_edt_dict" -> ((s, dir) => KgPipeline.edtDict(s, dir)),
+    "kg_status_roundtrip" -> ((s, dir) => KgPipeline.statusRoundtrip(s, dir)),
+    "kg_tuned_costs" -> ((s, dir) => KgPipeline.tunedCosts(s, dir)),
     "q1_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -118,6 +122,10 @@ object SparkEntry {
     "kg_seed_recommendation" -> OracleSql.kgSeedRecommendation,
     "kg_mira_scores" -> OracleSql.kgMiraScores,
     "kg_mention_pr" -> OracleSql.kgMentionPr,
+    "kg_entity_sim" -> OracleSql.kgEntitySim,
+    "kg_edt_dict" -> OracleSql.kgEdtDict,
+    "kg_status_roundtrip" -> OracleSql.kgStatusRoundtrip,
+    "kg_tuned_costs" -> OracleSql.kgTunedCosts,
     "q1_agg" -> """SELECT l_returnflag, l_linestatus,
       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,

@@ -382,8 +382,10 @@ object Paths {
                 positives: Seq[(String, String)], // (path, relName)
                 negatives: Seq[(String, String)],
                 wordSim: (String, String) => Double =
-                  (x, y) => if (x == y) 1.0 else 0.0): Option[String] =
-    softMatchWithKey(candidate, positives, negatives, wordSim).map(_._2)
+                  (x, y) => if (x == y) 1.0 else 0.0,
+                costs: MatchCosts = DefaultCosts): Option[String] =
+    softMatchWithKey(candidate, positives, negatives, wordSim, costs)
+      .map(_._2)
 
   /** As [[softMatch]], but also returns the WINNING rule's path key —
     * callers that attach per-rule metadata (e.g. the swap12 `invert`
@@ -394,11 +396,12 @@ object Paths {
                        positives: Seq[(String, String)],
                        negatives: Seq[(String, String)],
                        wordSim: (String, String) => Double =
-                         (x, y) => if (x == y) 1.0 else 0.0)
+                         (x, y) => if (x == y) 1.0 else 0.0,
+                       costs: MatchCosts = DefaultCosts)
       : Option[(String, String)] = {
     def best(rules: Seq[(String, String)]): Option[((String, String), Double)] =
       rules.iterator.map { case (p, r) =>
-        ((p, r), pathEditDistance(candidate, p, DefaultCosts, wordSim) /
+        ((p, r), pathEditDistance(candidate, p, costs, wordSim) /
           math.max(1, p.split(':').length))
       // deterministic tie-break: score, then rule name, then path
       }.minByOption(t => (t._2, t._1._2, t._1._1))

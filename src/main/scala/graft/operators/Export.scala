@@ -30,6 +30,20 @@ object Export {
       .toDF("surface", "canonical", "etype")
   }
 
+  /** EDT-type dictionary leg of the model export (S12,
+    * JetEngineBuilder.java:104-117 buildEDTtypeFile): one
+    * `noun | type:type 1` line per entity-set common noun — the third
+    * dictionary the reference's engine builder writes beside onoma and
+    * rules. Entity sets are (type, nouns-in-list-order) pairs, like the
+    * reference's `Ice.entitySets` iteration. */
+  def edtTypeDict(spark: SparkSession,
+                  entitySets: Seq[(String, Seq[String])]): DataFrame = {
+    import spark.implicits._
+    entitySets.flatMap { case (tpe, nouns) =>
+      nouns.map(n => (n, tpe, s"$n | $tpe:$tpe 1"))
+    }.toDF("noun", "etype", "dict_line")
+  }
+
   /** A15 mention-level scorer with the reference's alignment semantics
     * (TypedRelationExtractorScorer.java:45-160):
     *

@@ -138,6 +138,29 @@ object TaggerStage {
   private val exactSim: (String, String) => Double =
     (x, y) => if (x == y) 1.0 else 0.0
 
+  /** Type-level decode — the relation label every candidate of this
+    * `(type1, path, type2)` receives, with configurable soft-matcher
+    * costs: the scoring primitive of the train mode's cost grid search
+    * (RelaxedDepPathRelationTagger.java:203-241 drives the sweep
+    * against the dev-set scorer; the decode itself is the same
+    * exact-then-soft cascade as [[triples]]). */
+  def decodeType(rules: Seq[RelationRule], type1: String, path: String,
+                 type2: String,
+                 costs: Paths.MatchCosts = Paths.DefaultCosts)
+      : Option[String] = {
+    val pos = rules.filter(_.positive)
+      .map(r => r.copy(path = Paths.simplifyForTagging(r.path)))
+    val exact = pos.map(r => (r.type1, r.path, r.type2) -> r.relName).toMap
+    val soft = pos.map(r => (s"${r.type1}--${r.path}--${r.type2}", r.relName))
+    val neg = rules.filterNot(_.positive)
+      .map(r => r.copy(path = Paths.simplifyForTagging(r.path)))
+      .map(r => (s"${r.type1}--${r.path}--${r.type2}", r.relName))
+    val simplified = Paths.simplifyForTagging(path)
+    exact.get((type1, simplified, type2)).orElse(
+      Paths.softMatch(s"$type1--$simplified--$type2", soft, neg,
+        costs = costs))
+  }
+
   /** Tag candidate path instances against broadcast rules and emit
     * triples. Exact match first; soft match (threshold 0.5, neg-rule
     * discount 0.8) as fallback — `wordSim` plugs an embedding-backed

@@ -451,6 +451,150 @@ object KgPipeline {
         round(col("f1"), 6).as("f1"))
   }
 
+  /** The expansion gold set for the simulation scorer: the filler nouns
+    * the grammar actually realizes in entity contexts, minus the two
+    * seeds — derivable from Gen's arithmetic (dobj-side nouns are
+    * fillNouns[(10k+7) % 12] over even ids = the odd residues
+    * {report, merger, treaty, festival, verdict, shortage}; the only
+    * nsubj-side non-seed noun is drought, since (2k)*3 % 12 ∈ {0, 6}).
+    * Plays the role of the reference's user-supplied gold entity file
+    * (Simulation.java:80-96). */
+  val expansionGold: Seq[String] =
+    Seq("drought", "festival", "merger", "shortage", "treaty", "verdict")
+
+  /** Entity-set simulation scorer surfaced end-to-end
+    * (entityset/Simulation.java:17-70): per-rank precision / recall and
+    * ROC points of the expansion ranking against the gold noun set —
+    * `precision_at` = cumulative gold / rank, `recall_at` = cumulative
+    * gold / |gold| (the reference's tpr — fn starts at |gold|), `fpr` =
+    * cumulative non-gold / (N - |gold|) (tn starts at N - |gold|,
+    * rocScore's arithmetic verbatim). The ranked list is ≤ the index
+    * vocabulary after seeds are removed; the single-partition windows
+    * are over that bounded scoring table, not corpus data. */
+  def entitySim(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(desc("score"), asc("term"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val goldN = lit(expansionGold.size.toDouble)
+    entityExpansion(spark, sfDir)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("is_gold", col("term").isin(expansionGold: _*))
+      .withColumn("tp", sum(when(col("is_gold"), 1).otherwise(0)).over(cum))
+      .withColumn("n_total", count(lit(1)).over(all))
+      .select(col("rank"), col("term"), col("is_gold"),
+        round(col("tp") / col("rank"), 6).as("precision_at"),
+        round(col("tp") / goldN, 6).as("recall_at"),
+        round((col("rank") - col("tp")) / (col("n_total") - goldN), 6)
+          .as("fpr"))
+  }
+
+  /** S12's third dictionary surfaced end-to-end: the EDT-type dict over
+    * the DEMO entity set (the two seeds, sorted, then the expansion
+    * ranking) — `noun | DEMO:DEMO 1` lines per
+    * JetEngineBuilder.buildEDTtypeFile. The expansion collect is the
+    * same bounded ranked list the expander gates use. */
+  def edtDict(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val seeds = Seq(Gen.fillNouns(0), Gen.fillNouns(1)).sorted
+    val expanded = entityExpansion(spark, sfDir)
+      .select("term").as[String].collect().toSeq
+    Export.edtTypeDict(spark, Seq("DEMO" -> (seeds ++ expanded)))
+  }
+
+  /** S11 surfaced end-to-end: the YAML status store round-trip
+    * (uicomps/Ice.java persistence — corpora properties, entity sets,
+    * relation paths). The status is built from pipeline outputs plus a
+    * quoting-stress property (colons, quotes, tabs, a newline), saved
+    * through StatusStore's atomic rename, loaded back, and flattened to
+    * `(section, name, item_key, item_value)` rows — the DuckDB oracle
+    * recomputes the expected table from the parquet corpus, so any
+    * quote/escape corruption in the file round-trip surfaces as a hash
+    * mismatch. */
+  def statusRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val relMap = rules(spark, sfDir).groupBy(_.relName).map { case (rel, rs) =>
+      rel -> rs.map(r => s"${r.type1}--${r.path}--${r.type2}").sorted
+    }
+    val expanded = entityExpansion(spark, sfDir)
+      .select("term").as[String].collect().toSeq
+    val st = graft.sources.IceStatus(
+      corpora = Map("main" -> Map(
+        "docCount" -> nDocs.toString,
+        "source" -> "documents.parquet",
+        "note" -> "synthetic: \"interleaved\" corpus\twith\ttabs\nand a newline")),
+      entitySets = Map("DEMO" -> expanded),
+      relations = relMap)
+    val dir = java.nio.file.Files.createTempDirectory("graft-status")
+    dir.toFile.deleteOnExit()
+    val path = dir.resolve("ice.yml").toString
+    graft.sources.StatusStore.save(path, st)
+    val rt = graft.sources.StatusStore.load(path)
+    val rows =
+      rt.corpora.toSeq.flatMap { case (n, ps) =>
+        ps.toSeq.map { case (k, v) => ("corpora", n, k, v) } } ++
+      rt.entitySets.toSeq.flatMap { case (n, ms) =>
+        ms.zipWithIndex.map { case (m, i) => ("entitySets", n, i.toString, m) } } ++
+      rt.relations.toSeq.flatMap { case (n, ps) =>
+        ps.zipWithIndex.map { case (p, i) => ("relations", n, i.toString, p) } }
+    rows.toDF("section", "name", "item_key", "item_value")
+  }
+
+  /** The soft-matcher cost grid search surfaced end-to-end (the
+    * tagger's train mode, RelaxedDepPathRelationTagger.java:203-241):
+    * with the `visited` rule withheld from the dev rule set, sweep
+    * replace/insert/delete over {0.2..1.2}³ (Expanders.tuneCosts) and
+    * score each triple's decode against the full-rule decode as the dev
+    * key — mention-weighted F1 over the candidate-TYPE table (decode
+    * depends only on (type1, path, type2), so the distributed part is
+    * the type-count aggregation; the 216-point sweep then runs
+    * driver-side over that bounded table, exactly the shape of the
+    * reference's driver-side train loop). Output = the winning cost
+    * triple + its F1.
+    *
+    * On this corpus every grid point where the 3-node visit/tour
+    * candidates FAIL to soft-match a withheld-relation 5-node rule ties
+    * at the maximum F1 (a cross-relation soft match can only produce
+    * type errors), so the production costs (0.8, 0.3, 1.2) — outside
+    * the sweep lattice but in the no-match regime — achieve the same
+    * max F1; the deterministic tie-break (smallest replace, then
+    * insert, then delete) selects the smallest no-match lattice point.
+    * The DuckDB oracle recomputes the full sweep from closed-form
+    * alignment costs that PathsSpec pins to the weighted DP across the
+    * entire grid. */
+  def tunedCosts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val inst = instances(spark, sfDir).persist()
+    val repr = DepPathsStage.pathReprTable(inst)
+    val all = TaggerStage.rulesFromSeeds(spark, repr, seedPhrases)
+    val dev = all.filterNot(_.relName == "visited")
+    val types = inst.groupBy(col("type1"), col("path"), col("type2"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[(String, String, String, Long)].collect()
+    val keyLabel = types.map { case (t1, p, t2, _) =>
+      (t1, p, t2) -> TaggerStage.decodeType(all, t1, p, t2)
+    }.toMap
+    def f1(costs: graft.functions.Paths.MatchCosts): Double = {
+      var correct = 0L; var respN = 0L; var keyN = 0L
+      types.foreach { case (t1, p, t2, cnt) =>
+        val k = keyLabel((t1, p, t2))
+        val r = TaggerStage.decodeType(dev, t1, p, t2, costs)
+        if (k.isDefined) keyN += cnt
+        if (r.isDefined) respN += cnt
+        if (k.isDefined && k == r) correct += cnt
+      }
+      val pr = if (respN == 0) 0.0 else correct.toDouble / respN
+      val rc = if (keyN == 0) 0.0 else correct.toDouble / keyN
+      if (pr + rc == 0) 0.0 else 2 * pr * rc / (pr + rc)
+    }
+    val (best, score) = graft.functions.Expanders.tuneCosts(f1)
+    Seq((best.replace, best.insert, best.delete,
+      BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("replace_cost", "insert_cost", "delete_cost", "f1")
+  }
+
   def canonicalTriples(spark: SparkSession, sfDir: String): DataFrame =
     Canonicalize.canonicalTriples(triples(spark, sfDir),
       graft.nlp.Nlp.gpeCanonical).toDF()

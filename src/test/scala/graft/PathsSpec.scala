@@ -12,6 +12,41 @@ class PathsSpec extends AnyFunSuite {
       === "nsubj-1:live:prep:in:pobj")
   }
 
+  test("train-mode closed-form distances equal the weighted DP across the full cost grid") {
+    // pins the kg_tuned_costs DuckDB oracle's closed forms: for every
+    // 216-point grid triple, the min distance from each 3-node dev
+    // candidate to the five 5-node rules is
+    //   dv = min(r, d+i) + 2i + min(2.5, d+i)
+    // (verb substitution-or-del/ins, two insertions, one end-label leg),
+    // and the marriage candidate adds one more end-label leg
+    val grid = Seq(0.2, 0.4, 0.6, 0.8, 1.0, 1.2)
+    val rules5 = graft.sources.Gen.predPaths.zip(graft.sources.Gen.predNames)
+      .filterNot(_._2 == "visited")
+      .map { case (p, _) => s"PERSON--$p--GPE" }
+    val threeNode = Seq(
+      "PERSON--nsubj-1:visit:dobj--GPE",
+      "PERSON--nsubj-1:tour:dobj--GPE",
+      "PERSON--nsubj-1:pay:dobj--MONEY")
+    val marry = "PERSON(1)--nsubj-1:marry:dobj--PERSON(2)"
+    for (r <- grid; i <- grid; d <- grid) {
+      val c = Paths.MatchCosts(r, i, d)
+      val endLeg = math.min(2.5, d + i)
+      val dv = math.min(r, d + i) + 2 * i + endLeg
+      for (cand <- threeNode) {
+        val best = rules5.map(p => Paths.pathEditDistance(cand, p, c)).min
+        assert(math.abs(best - dv) < 1e-9,
+          s"closed form $dv != DP $best for $cand at $c")
+      }
+      val bestM = rules5.map(p => Paths.pathEditDistance(marry, p, c)).min
+      assert(math.abs(bestM - (dv + endLeg)) < 1e-9,
+        s"closed form ${dv + endLeg} != DP $bestM for marry at $c")
+      // lattice distances are multiples of 0.2: never within 0.1 of the
+      // 2.5 match threshold, so the oracle's dv < 2.5 compare is
+      // float-safe
+      assert(math.abs(dv - 2.5) > 0.09 && math.abs(dv + endLeg - 2.5) > 0.09)
+    }
+  }
+
   test("arc count") {
     assert(Paths.arcCount("nsubj-1:live:prep:in:pobj") === 3)
     assert(Paths.arcCount("nsubj-1:visit:dobj") === 2)
