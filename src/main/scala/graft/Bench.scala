@@ -35,8 +35,19 @@ object Bench {
     // query set and report rep-1 per-query times plus every rep's total,
     // so host-mode drift (BASELINE.md: ±30% run-to-run on this microVM)
     // is visible inside one JSON line
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt max 1
-    def oneRep(): scala.collection.immutable.ListMap[String, Double] = {
+    val repsRaw = sys.env.get("SPARK_GRAFT_REPS")
+    // malformed value → warn + default 1, never an uncaught
+    // NumberFormatException that aborts the run before any JSON line
+    val reps = repsRaw.flatMap(_.trim.toIntOption).map(_ max 1).getOrElse {
+      repsRaw.foreach(v =>
+        System.err.println(s"[bench] ignoring malformed SPARK_GRAFT_REPS=$v"))
+      1
+    }
+    def oneRep(rep: Int): scala.collection.immutable.ListMap[String, Double] = {
+      // multi-rep runs tag failures with the rep index — per-query
+      // timings report rep 1, so an error surfacing only in rep 2+ must
+      // not read as a rep-1 failure
+      val tag = if (reps > 1) s"rep $rep: " else ""
       val pairs = SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         // NonFatal only: an OOM/LinkageError must abort the run — timings
@@ -44,7 +55,8 @@ object Bench {
         // looks legitimate
         try fn(spark, sfDir).count()
         catch { case scala.util.control.NonFatal(e) =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          errors(name) = tag +
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           System.err.println(s"[bench] $name FAILED: $e")
         }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -57,7 +69,7 @@ object Bench {
       }
       scala.collection.immutable.ListMap.from(pairs)
     }
-    val allReps = (1 to reps).map(_ => oneRep())
+    val allReps = (1 to reps).map(oneRep)
     val results = allReps.head
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")

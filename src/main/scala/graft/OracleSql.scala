@@ -462,7 +462,10 @@ object OracleSql {
     * same (g desc, i, j) tie-break, and the stop conditions
     * (merged size > 4, clusters < 3). Cluster identity = the minimal
     * pool index of its members, which is exactly the Scala vector
-    * position root. */
+    * position root. The best-pair leg joins LEFT so a pool with a
+    * single member (b$k empty — no pairs) carries its row through
+    * unmerged instead of emptying every later step, matching the Scala
+    * side's skip-the-loop behavior on < minClusters inputs. */
   lazy val kgSeedRecommendation: String = {
     def step(k: Int): String = {
       val p = k - 1
@@ -492,10 +495,11 @@ object OracleSql {
          |  (SELECT bool_or(stopped) FROM s$p) AS stp),
          |s$k AS MATERIALIZED (
          |  SELECT a.item,
-         |    CASE WHEN NOT (z.stp OR z.nc < 3 OR z.msz > 4) AND a.root = b.rj
+         |    CASE WHEN b.ri IS NOT NULL
+         |          AND NOT (z.stp OR z.nc < 3 OR z.msz > 4) AND a.root = b.rj
          |         THEN b.ri ELSE a.root END AS root,
          |    (z.stp OR z.nc < 3 OR z.msz > 4) AS stopped
-         |  FROM s$p a, b$k b, z$k z)""".stripMargin
+         |  FROM s$p a CROSS JOIN z$k z LEFT JOIN b$k b ON true)""".stripMargin
     }
     val maxSteps = 19
     s"""$fillerCte,

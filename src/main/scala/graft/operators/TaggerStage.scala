@@ -138,16 +138,18 @@ object TaggerStage {
   private val exactSim: (String, String) => Double =
     (x, y) => if (x == y) 1.0 else 0.0
 
-  /** Type-level decode — the relation label every candidate of this
+  /** Precompute the simplified rule state once and return a TYPE-LEVEL
+    * decoder — the relation label every candidate of a
     * `(type1, path, type2)` receives, with configurable soft-matcher
     * costs: the scoring primitive of the train mode's cost grid search
     * (RelaxedDepPathRelationTagger.java:203-241 drives the sweep
     * against the dev-set scorer; the decode itself is the same
-    * exact-then-soft cascade as [[triples]]). */
-  def decodeType(rules: Seq[RelationRule], type1: String, path: String,
-                 type2: String,
-                 costs: Paths.MatchCosts = Paths.DefaultCosts)
-      : Option[String] = {
+    * exact-then-soft cascade as [[triples]]). The sweep calls the
+    * decoder grid × types times, so the per-ruleset prep (path
+    * simplification, exact map, soft/neg lists) is hoisted out here
+    * rather than rebuilt per call. */
+  def typeDecoder(rules: Seq[RelationRule])
+      : (String, String, String, Paths.MatchCosts) => Option[String] = {
     val pos = rules.filter(_.positive)
       .map(r => r.copy(path = Paths.simplifyForTagging(r.path)))
     val exact = pos.map(r => (r.type1, r.path, r.type2) -> r.relName).toMap
@@ -155,11 +157,20 @@ object TaggerStage {
     val neg = rules.filterNot(_.positive)
       .map(r => r.copy(path = Paths.simplifyForTagging(r.path)))
       .map(r => (s"${r.type1}--${r.path}--${r.type2}", r.relName))
-    val simplified = Paths.simplifyForTagging(path)
-    exact.get((type1, simplified, type2)).orElse(
-      Paths.softMatch(s"$type1--$simplified--$type2", soft, neg,
-        costs = costs))
+    (type1, path, type2, costs) => {
+      val simplified = Paths.simplifyForTagging(path)
+      exact.get((type1, simplified, type2)).orElse(
+        Paths.softMatch(s"$type1--$simplified--$type2", soft, neg,
+          costs = costs))
+    }
   }
+
+  /** One-shot convenience over [[typeDecoder]]. */
+  def decodeType(rules: Seq[RelationRule], type1: String, path: String,
+                 type2: String,
+                 costs: Paths.MatchCosts = Paths.DefaultCosts)
+      : Option[String] =
+    typeDecoder(rules)(type1, path, type2, costs)
 
   /** Tag candidate path instances against broadcast rules and emit
     * triples. Exact match first; soft match (threshold 0.5, neg-rule

@@ -540,10 +540,13 @@ object KgPipeline {
       entitySets = Map("DEMO" -> expanded),
       relations = relMap)
     val dir = java.nio.file.Files.createTempDirectory("graft-status")
-    dir.toFile.deleteOnExit()
     val path = dir.resolve("ice.yml").toString
     graft.sources.StatusStore.save(path, st)
     val rt = graft.sources.StatusStore.load(path)
+    // eager cleanup (deleteOnExit on a non-empty directory is a no-op):
+    // repeated bench/verify runs must not accumulate graft-status dirs
+    java.nio.file.Files.deleteIfExists(dir.resolve("ice.yml"))
+    java.nio.file.Files.deleteIfExists(dir)
     val rows =
       rt.corpora.toSeq.flatMap { case (n, ps) =>
         ps.toSeq.map { case (k, v) => ("corpora", n, k, v) } } ++
@@ -594,14 +597,18 @@ object KgPipeline {
       .orderBy(desc("cnt"), asc("type1"), asc("path"), asc("type2"))
       .limit(100000)
       .as[(String, String, String, Long)].collect()
+    // decoders built ONCE per ruleset: the sweep calls them 216 × |types|
+    // times, so the rule-state prep must not be rebuilt per call
+    val keyDecode = TaggerStage.typeDecoder(all)
+    val devDecode = TaggerStage.typeDecoder(dev)
     val keyLabel = types.map { case (t1, p, t2, _) =>
-      (t1, p, t2) -> TaggerStage.decodeType(all, t1, p, t2)
+      (t1, p, t2) -> keyDecode(t1, p, t2, graft.functions.Paths.DefaultCosts)
     }.toMap
     def f1(costs: graft.functions.Paths.MatchCosts): Double = {
       var correct = 0L; var respN = 0L; var keyN = 0L
       types.foreach { case (t1, p, t2, cnt) =>
         val k = keyLabel((t1, p, t2))
-        val r = TaggerStage.decodeType(dev, t1, p, t2, costs)
+        val r = devDecode(t1, p, t2, costs)
         if (k.isDefined) keyN += cnt
         if (r.isDefined) respN += cnt
         if (k.isDefined && k == r) correct += cnt
