@@ -157,12 +157,27 @@ object Export {
     * reference-faithful head-offset scorer).
     * Returns one row (correct, spurious, missing, precision, recall). */
   def score(key: DataFrame, response: DataFrame): DataFrame = {
-    val k = key.select("doc_id", "subj", "pred", "obj").distinct()
-    val r = response.select("doc_id", "subj", "pred", "obj").distinct()
+    import org.apache.spark.sql.functions.{coalesce, count, lit, when}
     val cols = Seq("doc_id", "subj", "pred", "obj")
-    val correct = r.join(k, cols, "left_semi").count()
-    val spurious = r.join(k, cols, "left_anti").count()
-    val missing = k.join(r, cols, "left_anti").count()
+    val k = key.select(cols.map(col): _*).distinct()
+      .withColumn("in_k", lit(1))
+    val r = response.select(cols.map(col): _*).distinct()
+      .withColumn("in_r", lit(1))
+    // one full-outer join + one aggregation = a single job over each
+    // decode, instead of the previous three separate semi/anti-join
+    // count actions (each of which re-ran both decode flatMaps)
+    val row = k.join(r, cols, "full_outer")
+      .agg(
+        coalesce(count(when(col("in_k").isNotNull && col("in_r").isNotNull,
+          lit(1))), lit(0L)).as("correct"),
+        coalesce(count(when(col("in_k").isNull, lit(1))), lit(0L))
+          .as("spurious"),
+        coalesce(count(when(col("in_r").isNull, lit(1))), lit(0L))
+          .as("missing"))
+      .first()
+    val correct = row.getLong(0)
+    val spurious = row.getLong(1)
+    val missing = row.getLong(2)
     val spark = key.sparkSession
     import spark.implicits._
     Seq((correct, spurious, missing,
