@@ -78,15 +78,25 @@ object Export {
                     symmetricPreds: Set[String]): DataFrame = {
     val spark = keyEnts.sparkSession
     import spark.implicits._
+    // duplicate response heads: only one aligns, the rest are spurious.
+    // One full-outer join + one aggregation = a single job for all three
+    // entity counts (the semi/anti/count triple previously ran three)
     val ke = keyEnts.select(col("doc_id"), col("head_end")).distinct()
-    // duplicate response heads: only one aligns, the rest are spurious
-    val re = respEnts.select(col("doc_id"), col("head_end"))
-    val reDistinct = re.distinct()
-    val correctEnts = reDistinct.join(ke, Seq("doc_id", "head_end"), "left_semi")
-    val correctEntN = correctEnts.count()
-    val spuriousEntN = re.count() - correctEntN
-    val missingEntN = ke.join(reDistinct, Seq("doc_id", "head_end"), "left_anti")
-      .count()
+      .withColumn("in_k", lit(1))
+    val reAgg = respEnts.select(col("doc_id"), col("head_end"))
+      .groupBy(col("doc_id"), col("head_end"))
+      .agg(count(lit(1)).as("r_cnt"))
+    val entRow = ke.join(reAgg, Seq("doc_id", "head_end"), "full_outer")
+      .agg(
+        coalesce(count(when(col("in_k").isNotNull && col("r_cnt").isNotNull,
+          lit(1))), lit(0L)).as("correct"),
+        coalesce(sum(col("r_cnt")), lit(0L)).as("resp_total"),
+        coalesce(count(when(col("r_cnt").isNull, lit(1))), lit(0L))
+          .as("missing"))
+      .first()
+    val correctEntN = entRow.getLong(0)
+    val spuriousEntN = entRow.getLong(1) - correctEntN
+    val missingEntN = entRow.getLong(2)
     // Relation alignment with the reference's CONSUMPTION semantics
     // (TypedRelationExtractorScorer.java:97-137): each key mention is
     // consumed by at most one response (correct on pred agreement, type
