@@ -41,13 +41,22 @@ object TaggerStage {
     // swap12 as a column expression: (1) <-> (2) via a placeholder
     val swapped = regexp_replace(regexp_replace(regexp_replace(
       col("repr"), "\\(1\\)", "(#)"), "\\(2\\)", "(1)"), "\\(#\\)", "(2)")
+    // persist: BOTH join legs consume the repr subtree (an aggregation
+    // over the mined instances); without it the repr agg runs twice per
+    // resolution. Released by the caller's clearCache, like every
+    // per-query cache in this repo. Storage-level check: callers that
+    // resolve two rule sets pass the same (already persisted) frame.
+    val repr =
+      if (pathRepr.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        pathRepr.persist()
+      else pathRepr
     // two equi-joins (each a BroadcastHashJoin), not one OR-join (which
     // would plan as a nested loop over the whole repr table)
-    val direct = pathRepr
+    val direct = repr
       .join(broadcast(seedDf), col("repr") === col("seedRepr"))
       .select(col("type1"), col("path"), col("type2"), col("relName"),
         lit(false).as("invert"))
-    val viaSwap = pathRepr.withColumn("swap_repr", swapped)
+    val viaSwap = repr.withColumn("swap_repr", swapped)
       .join(broadcast(seedDf),
         col("swap_repr") === col("seedRepr") && col("repr") =!= col("seedRepr"))
       .select(col("type1"), col("path"), col("type2"), col("relName"),
