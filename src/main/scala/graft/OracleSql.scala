@@ -1081,7 +1081,8 @@ object OracleSql {
 
   /** Simulation scorer (Simulation.java:17-70): per-rank P/R + ROC of
     * the expansion ranking vs the gold noun list — tpr = tp/|gold|
-    * (= recall), fpr = fp/(N - |gold|), rocScore's arithmetic. */
+    * (= recall), fpr = fp/(N - |gold|), rocScore's arithmetic, over the
+    * same capped-at-1000 scored prefix as the Spark side. */
   lazy val kgEntitySim: String = {
     val goldN = graft.pipeline.KgPipeline.expansionGold.size
     s"""WITH r AS (
@@ -1089,7 +1090,8 @@ object OracleSql {
        |         row_number() OVER (ORDER BY score DESC, term) AS rank
        |  FROM ($kgEntityExpansion)),
        |rr AS (SELECT CAST(rank AS INT) AS rank, term,
-       |              list_contains($goldL, term) AS is_gold FROM r),
+       |              list_contains($goldL, term) AS is_gold
+       |       FROM r WHERE rank <= 1000),
        |c AS (SELECT rank, term, is_gold,
        |             sum(CASE WHEN is_gold THEN 1 ELSE 0 END)
        |               OVER (ORDER BY rank) AS tp,

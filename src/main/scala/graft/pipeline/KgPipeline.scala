@@ -473,10 +473,14 @@ object KgPipeline {
     * `precision_at` = cumulative gold / rank, `recall_at` = cumulative
     * gold / |gold| (the reference's tpr — fn starts at |gold|), `fpr` =
     * cumulative non-gold / (N - |gold|) (tn starts at N - |gold|,
-    * rocScore's arithmetic verbatim). The ranked list is ≤ the index
-    * vocabulary after seeds are removed; the single-partition windows
-    * are over that bounded scoring table, not corpus data. */
-  def entitySim(spark: SparkSession, sfDir: String): DataFrame = {
+    * rocScore's arithmetic verbatim). The scored prefix is bounded at
+    * `simAt` via a distributed TakeOrderedAndProject before any window
+    * runs (the reference's Simulation likewise evaluates capped sizes —
+    * Simulation.java:80-83 `sizes = {20}`), so the single-partition
+    * cumulative windows only ever see that bounded scoring table, not
+    * the index vocabulary. */
+  def entitySim(spark: SparkSession, sfDir: String,
+                simAt: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(desc("score"), asc("term"))
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -484,6 +488,7 @@ object KgPipeline {
       Window.unboundedPreceding, Window.unboundedFollowing)
     val goldN = lit(expansionGold.size.toDouble)
     entityExpansion(spark, sfDir)
+      .orderBy(desc("score"), asc("term")).limit(simAt)
       .withColumn("rank", row_number().over(w))
       .withColumn("is_gold", col("term").isin(expansionGold: _*))
       .withColumn("tp", sum(when(col("is_gold"), 1).otherwise(0)).over(cum))

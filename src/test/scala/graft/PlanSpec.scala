@@ -160,6 +160,14 @@ class PlanSpec extends SparkSpec {
     assert(plan(ids).contains("TakeOrderedAndProject"))
   }
 
+  test("entity-sim bounds its scored prefix with a distributed top-k") {
+    // the single-partition cumulative windows must only ever see the
+    // capped prefix — the cap itself must plan as TakeOrderedAndProject
+    // (bounded per-partition heaps), not a global sort of the ranking
+    val p = plan(KgPipeline.entitySim(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("term-rank top-10 plans as TakeOrderedAndProject (no full sort)") {
     val p = plan(KgPipeline.termRankTop10(spark, dir))
     assert(p.contains("TakeOrderedAndProject"))
