@@ -1081,21 +1081,24 @@ object OracleSql {
 
   /** Simulation scorer (Simulation.java:17-70): per-rank P/R + ROC of
     * the expansion ranking vs the gold noun list — tpr = tp/|gold|
-    * (= recall), fpr = fp/(N - |gold|), rocScore's arithmetic, over the
-    * same capped-at-1000 scored prefix as the Spark side. */
+    * (= recall), fpr = fp/(N - |gold|) with N = the FULL ranking size
+    * (rocScore's arithmetic verbatim), emitted for the same
+    * [[graft.pipeline.KgPipeline.SimAt]]-capped prefix as the Spark
+    * side. */
   lazy val kgEntitySim: String = {
     val goldN = graft.pipeline.KgPipeline.expansionGold.size
+    val simAt = graft.pipeline.KgPipeline.SimAt
     s"""WITH r AS (
        |  SELECT term,
        |         row_number() OVER (ORDER BY score DESC, term) AS rank
        |  FROM ($kgEntityExpansion)),
        |rr AS (SELECT CAST(rank AS INT) AS rank, term,
        |              list_contains($goldL, term) AS is_gold
-       |       FROM r WHERE rank <= 1000),
+       |       FROM r WHERE rank <= $simAt),
        |c AS (SELECT rank, term, is_gold,
        |             sum(CASE WHEN is_gold THEN 1 ELSE 0 END)
        |               OVER (ORDER BY rank) AS tp,
-       |             (SELECT count(*) FROM rr) AS n
+       |             (SELECT count(*) FROM r) AS n
        |      FROM rr)
        |SELECT rank, term, is_gold,
        |       round(tp * 1.0 / rank, 6) AS precision_at,

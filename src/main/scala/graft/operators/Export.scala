@@ -167,7 +167,6 @@ object Export {
     * reference-faithful head-offset scorer).
     * Returns one row (correct, spurious, missing, precision, recall). */
   def score(key: DataFrame, response: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, count, lit, when}
     val cols = Seq("doc_id", "subj", "pred", "obj")
     val k = key.select(cols.map(col): _*).distinct()
       .withColumn("in_k", lit(1))

@@ -43,13 +43,15 @@ object TaggerStage {
       col("repr"), "\\(1\\)", "(#)"), "\\(2\\)", "(1)"), "\\(#\\)", "(2)")
     // persist: BOTH join legs consume the repr subtree (an aggregation
     // over the mined instances); without it the repr agg runs twice per
-    // resolution. Released by the caller's clearCache, like every
-    // per-query cache in this repo. Storage-level check: callers that
-    // resolve two rule sets pass the same (already persisted) frame.
-    val repr =
-      if (pathRepr.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        pathRepr.persist()
-      else pathRepr
+    // resolution. Ownership: a frame the CALLER already persisted (e.g.
+    // a scorer resolving two rule sets from one repr) is left alone;
+    // one this function persisted is released before returning — the
+    // collect below is the last consumer, and callers that never
+    // clearCache (ScalingBench's pipeline mode, long-lived test
+    // sessions) must not accumulate a cached repr per resolution.
+    val weOwn =
+      pathRepr.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val repr = if (weOwn) pathRepr.persist() else pathRepr
     // two equi-joins (each a BroadcastHashJoin), not one OR-join (which
     // would plan as a nested loop over the whole repr table)
     val direct = repr
@@ -62,10 +64,12 @@ object TaggerStage {
       .select(col("type1"), col("path"), col("type2"), col("relName"),
         lit(true).as("invert"))
     val joined = direct.unionByName(viaSwap)
-    joined.collect().map { r =>
+    val rules = joined.collect().map { r =>
       RelationRule(r.getString(0), r.getString(1), r.getString(2),
         r.getString(3), invert = r.getBoolean(4), positive = true)
     }.toSeq
+    if (weOwn) repr.unpersist(blocking = false)
+    rules
   }
 
   /** Like [[rulesFromSeeds]], plus the J4 edit-distance fallback

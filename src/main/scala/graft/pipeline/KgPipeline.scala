@@ -438,11 +438,15 @@ object KgPipeline {
     // mentionHeads previously re-annotated the corpus from scratch
     val ann = annotated(spark, sfDir).persist()
     val inst = DepPathsStage.instances(ann).persist()
-    val repr = DepPathsStage.pathReprTable(inst)
+    // persisted HERE (caller-owned): both rule resolutions below share
+    // one cached repr agg — rulesFromSeeds leaves caller-persisted
+    // frames alone and only releases its own
+    val repr = DepPathsStage.pathReprTable(inst).persist()
     val keyRules = TaggerStage.rulesFromSeeds(spark, repr,
       seedPhrases + ("marriedBy" -> "person(2) married person(1)"))
     val respRules = TaggerStage.rulesFromSeeds(spark, repr,
       (seedPhrases - "diedIn") + ("marriedBy" -> "person(1) married person(2)"))
+    repr.unpersist(blocking = false)
     val ents = mentionHeads(ann)
     Export.scoreMentions(ents, ents,
         TaggerStage.mentionDecodes(inst, keyRules),
@@ -473,32 +477,37 @@ object KgPipeline {
     * `precision_at` = cumulative gold / rank, `recall_at` = cumulative
     * gold / |gold| (the reference's tpr — fn starts at |gold|), `fpr` =
     * cumulative non-gold / (N - |gold|) (tn starts at N - |gold|,
-    * rocScore's arithmetic verbatim). The scored prefix is bounded at
-    * `simAt` via a distributed TakeOrderedAndProject before any window
-    * runs (the reference's Simulation likewise evaluates capped sizes —
+    * rocScore's arithmetic verbatim — N is the FULL ranking size, so
+    * the denominators are the reference's even though only the first
+    * [[SimAt]] ranks are emitted). The emitted prefix is bounded via a
+    * distributed TakeOrderedAndProject before any window runs (the
+    * reference's Simulation likewise evaluates capped sizes —
     * Simulation.java:80-83 `sizes = {20}`), so the single-partition
     * cumulative windows only ever see that bounded scoring table, not
     * the index vocabulary. */
-  def entitySim(spark: SparkSession, sfDir: String,
-                simAt: Int = 1000): DataFrame = {
+  def entitySim(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(desc("score"), asc("term"))
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy().rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
     val goldN = lit(expansionGold.size.toDouble)
-    entityExpansion(spark, sfDir)
-      .orderBy(desc("score"), asc("term")).limit(simAt)
+    val ranked = entityExpansion(spark, sfDir)
+    // N of the reference's fpr denominator = the FULL ranking size
+    // (one count action over the persisted index chain)
+    val nTotal = ranked.count().toDouble
+    ranked.orderBy(desc("score"), asc("term")).limit(SimAt)
       .withColumn("rank", row_number().over(w))
       .withColumn("is_gold", col("term").isin(expansionGold: _*))
       .withColumn("tp", sum(when(col("is_gold"), 1).otherwise(0)).over(cum))
-      .withColumn("n_total", count(lit(1)).over(all))
       .select(col("rank"), col("term"), col("is_gold"),
         round(col("tp") / col("rank"), 6).as("precision_at"),
         round(col("tp") / goldN, 6).as("recall_at"),
-        round((col("rank") - col("tp")) / (col("n_total") - goldN), 6)
+        round((col("rank") - col("tp")) / lit(nTotal - expansionGold.size), 6)
           .as("fpr"))
   }
+
+  /** Emitted-rank cap of [[entitySim]] — shared with the DuckDB oracle
+    * so the two sides can never silently disagree on the prefix. */
+  val SimAt = 1000
 
   /** S12's third dictionary surfaced end-to-end: the EDT-type dict over
     * the DEMO entity set (the two seeds, sorted, then the expansion
