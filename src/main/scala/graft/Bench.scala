@@ -31,17 +31,19 @@ object Bench {
       spark.read.parquet(s"$sfDir/documents.parquet").limit(100).count()
     } catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // SPARK_GRAFT_REPS > 1 (dev use; driver runs 1): repeat the whole
-    // query set and report rep-1 per-query times plus every rep's total,
-    // so host-mode drift (BASELINE.md: ±30% run-to-run on this microVM)
-    // is visible inside one JSON line
+    // default 3 reps (override via SPARK_GRAFT_REPS): the whole query
+    // set repeats and the line reports rep-1 per-query times plus EVERY
+    // rep's total, so host-mode drift (BASELINE.md: ±30% run-to-run on
+    // this microVM) is visible inside one JSON artifact — round-3's
+    // single-rep file could not distinguish a regression from a
+    // degraded-host window
     val repsRaw = sys.env.get("SPARK_GRAFT_REPS")
-    // malformed value → warn + default 1, never an uncaught
+    // malformed value → warn + default, never an uncaught
     // NumberFormatException that aborts the run before any JSON line
     val reps = repsRaw.flatMap(_.trim.toIntOption).map(_ max 1).getOrElse {
       repsRaw.foreach(v =>
         System.err.println(s"[bench] ignoring malformed SPARK_GRAFT_REPS=$v"))
-      1
+      3
     }
     def oneRep(rep: Int): scala.collection.immutable.ListMap[String, Double] = {
       // multi-rep runs tag failures with the rep index — per-query
@@ -71,13 +73,18 @@ object Bench {
     }
     val allReps = (1 to reps).map(oneRep)
     val results = allReps.head
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+    // millisecond precision: the driver's stdout-tail capture is a few
+    // KB — 9-decimal doubles pushed the round-3 line past it, truncating
+    // 11 queries out of the artifact. 3 decimals is far below this
+    // host's ±30% run-to-run noise and keeps the whole line < ~2.5 KB.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => jstr(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val totals = allReps.map(r => r.values.sum).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"err_count":${errors.size},"errors":$errs,"reps":$reps,"rep_totals":$totals,"sf":${jstr(sfDir)}}""")
+    val totals = allReps.map(r => fmt(r.values.sum)).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"err_count":${errors.size},"errors":$errs,"reps":$reps,"rep_totals":$totals,"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -88,6 +88,16 @@ object DataQueries {
     // 65k bucket values — see Dedup.bandScheme); high-radius Jaccard
     // dedup at 100 TB belongs to minhashLsh above.
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(docs(s, d), maxDist = 15)),
+    // SHIPPED-CONFIG gate: the default radius 3 (4×16-bit bands — the
+    // config users actually get) run end-to-end, with the MD5-derived
+    // oracle-parity feature hash so the DuckDB oracle RE-DERIVES the
+    // hamming<=3 filter from raw text (per-doc signature recomputed in
+    // SQL) instead of assuming complete blocking recall like the
+    // radius-15 row above. Banding geometry, blocked join, codegen
+    // distance filter and candidate-only verify are the shipped code
+    // path; only the 64-bit feature-hash constant differs.
+    "dedup_simhash_r3" -> ((s, d) =>
+      Dedup.simhashNearDup(docs(s, d), maxDist = 3, parityHash = true)),
     // near-dup cluster canonicalization: connected components over the
     // LSH-verified near-dup pairs, representative = min doc in the
     // cluster — the "keep one survivor per dup cluster" op of a
@@ -521,6 +531,39 @@ object DataQueries {
       // independent Jaccard recomputation as dedup_minhash. Blocking
       // recall < 1 would surface as a rows mismatch.
       "dedup_simhash" -> jaccardSql(0.8),
+      // dedup_simhash_r3: fully independent recomputation — per-doc
+      // 64-bit simhash signatures are re-derived in SQL over the same
+      // distinct 3-gram features (md5_number_lower = the parity hash's
+      // little-endian MD5 tail), bits compared positionally for the
+      // Jaccard-verified pairs, and only pairs within hamming 3 kept.
+      // Signatures are only built for docs appearing in some
+      // Jaccard-0.8 pair, so the 64× bit expansion stays tiny.
+      "dedup_simhash_r3" ->
+        s"""$shingleCte,
+           |jp AS (
+           |  SELECT p.ida, p.idb,
+           |         p.shared * 1.0 / (x.n + y.n - p.shared) AS jaccard
+           |  FROM pairs p JOIN sz x ON p.ida = x.doc_id
+           |               JOIN sz y ON p.idb = y.doc_id
+           |  WHERE p.shared * 1.0 / (x.n + y.n - p.shared) >= 0.8),
+           |ids AS (SELECT DISTINCT ida AS doc_id FROM jp
+           |        UNION SELECT DISTINCT idb FROM jp),
+           |bits AS (
+           |  SELECT s.doc_id, t.i,
+           |         CASE WHEN sum(CASE WHEN (md5_number_lower(s.gram) >> t.i)
+           |                                 & 1::UBIGINT = 1
+           |                           THEN 1 ELSE -1 END) > 0
+           |              THEN 1 ELSE 0 END AS b
+           |  FROM s JOIN ids USING (doc_id) CROSS JOIN range(64) t(i)
+           |  GROUP BY 1, 2),
+           |ham AS (SELECT jp.ida, jp.idb,
+           |               sum(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END) AS d
+           |        FROM jp JOIN bits x ON x.doc_id = jp.ida
+           |                JOIN bits y ON y.doc_id = jp.idb AND x.i = y.i
+           |        GROUP BY 1, 2)
+           |SELECT jp.ida, jp.idb, jp.jaccard
+           |FROM jp JOIN ham ON jp.ida = ham.ida AND jp.idb = ham.idb
+           |WHERE ham.d <= 3""".stripMargin,
       // ann_lsh / ann_ivf: per-query recall vs exact brute-force top-k,
       // reduced to a deterministic (query_id, recall_ok) table; the
       // oracle asserts recall_ok for every query in the query set.

@@ -273,6 +273,40 @@ object OracleSql {
        |         AS score
        |FROM sh, tot WHERE sh.shared > 0""".stripMargin
 
+  /** Event-flavored embedding scoring (EventBootstrap.java:418-460):
+    * per type key, tree vector = sum of fixed word vectors of the
+    * trigger + the arg VALUES parsed from the key (role prefixes
+    * stripped, lowercased); score = cosine(seed-tree centroid, tree)
+    * · cnt/(cnt+1). The centroid is re-derived in SQL from the same
+    * embedding VALUES; the count table is the independent kgEvents
+    * derivation. */
+  lazy val kgEventEmbScores: String = {
+    val emb = graft.pipeline.KgPipeline.eventEmbedding.toSeq.sortBy(_._1)
+      .map { case (w, v) => s"('$w',${v(0)},${v(1)})" }.mkString(", ")
+    s"""WITH ev0 AS ($kgEvents),
+       |emb(w, ex, ey) AS (VALUES $emb),
+       |cen AS (SELECT sum(ex) AS cx, sum(ey) AS cy FROM emb
+       |        WHERE w IN ('visit', 'person', 'gpe')),
+       |kw AS (SELECT key, cnt,
+       |              unnest(string_split_regex(key, '\\s+')) AS part
+       |       FROM ev0),
+       |kv AS (SELECT key, cnt,
+       |              coalesce(sum(e.ex), 0) AS vx,
+       |              coalesce(sum(e.ey), 0) AS vy
+       |       FROM kw LEFT JOIN emb e
+       |         ON e.w = lower(CASE WHEN position(':' IN part) > 0
+       |                             THEN substr(part, position(':' IN part) + 1)
+       |                             ELSE part END)
+       |       GROUP BY 1, 2)
+       |SELECT key, cnt,
+       |       round(CASE WHEN sqrt(vx*vx + vy*vy) = 0
+       |                    OR sqrt(cx*cx + cy*cy) = 0 THEN 0.0
+       |                  ELSE (cx*vx + cy*vy) / sqrt(cx*cx + cy*cy)
+       |                       / sqrt(vx*vx + vy*vy) END
+       |             * cnt / (cnt + 1), 6) AS score
+       |FROM kv, cen""".stripMargin
+  }
+
   /** Interleaved span sequence (kind, text, media_ref, order) — the
     * per-row invariant, recomputed independently. Span order: optional
     * filler, then per sentence s: text span + optional media span. */
@@ -1073,11 +1107,14 @@ object OracleSql {
        |    e * 1.0 / (e + CASE WHEN dv < 2.5 THEN v + mny ELSE 0 END
        |      + CASE WHEN dv + endleg < 2.5 THEN mar ELSE 0 END) AS p,
        |    e * 1.0 / (e + v) AS r
-       |  FROM sweep, cnts)
+       |  FROM sweep, cnts),
+       |fsc AS (SELECT rc, ic, dc,
+       |               CASE WHEN p + r = 0 THEN 0
+       |                    ELSE 2 * p * r / (p + r) END AS f1
+       |        FROM scored)
        |SELECT rc AS replace_cost, ic AS insert_cost, dc AS delete_cost,
-       |       round(CASE WHEN p + r = 0 THEN 0
-       |                  ELSE 2 * p * r / (p + r) END, 6) AS f1
-       |FROM scored ORDER BY f1 DESC, rc, ic, dc LIMIT 1""".stripMargin
+       |       round(f1, 6) AS f1
+       |FROM fsc ORDER BY f1 DESC, rc, ic, dc LIMIT 1""".stripMargin
 
   /** Simulation scorer (Simulation.java:17-70): per-rank P/R + ROC of
     * the expansion ranking vs the gold noun list — tpr = tp/|gold|
@@ -1103,14 +1140,20 @@ object OracleSql {
        |SELECT rank, term, is_gold,
        |       round(tp * 1.0 / rank, 6) AS precision_at,
        |       round(tp * 1.0 / $goldN, 6) AS recall_at,
-       |       round((rank - tp) * 1.0 / (n - $goldN), 6) AS fpr
+       |       CASE WHEN n > $goldN
+       |            THEN round((rank - tp) * 1.0 / (n - $goldN), 6)
+       |            ELSE NULL END AS fpr
        |FROM c""".stripMargin
   }
 
   /** EDT-type dict (JetEngineBuilder.java:104-117): `noun | DEMO:DEMO 1`
-    * lines over the DEMO entity set = sorted seeds + expansion ranking. */
+    * lines over the DEMO entity set = sorted seeds + the top-SimAt
+    * expansion ranking (the same bounded prefix the Spark side
+    * collects). */
   lazy val kgEdtDict: String =
-    s"""WITH r AS (SELECT term FROM ($kgEntityExpansion)),
+    s"""WITH r AS (SELECT term FROM ($kgEntityExpansion)
+       |           ORDER BY score DESC, term
+       |           LIMIT ${graft.pipeline.KgPipeline.SimAt}),
        |nouns AS (
        |  SELECT '${Gen.fillNouns(0)}' AS noun
        |  UNION ALL SELECT '${Gen.fillNouns(1)}'
@@ -1127,9 +1170,11 @@ object OracleSql {
     * side's YAML file round-trip diverges from this recomputation. */
   lazy val kgStatusRoundtrip: String =
     s"""WITH exp AS (
-       |  SELECT term,
-       |         row_number() OVER (ORDER BY score DESC, term) AS rn
-       |  FROM ($kgEntityExpansion)),
+       |  SELECT term, rn FROM (
+       |    SELECT term,
+       |           row_number() OVER (ORDER BY score DESC, term) AS rn
+       |    FROM ($kgEntityExpansion))
+       |  WHERE rn <= ${graft.pipeline.KgPipeline.SimAt}),
        |rel AS (SELECT rel_name, pattern,
        |               row_number() OVER (PARTITION BY rel_name
        |                                  ORDER BY pattern) AS rn

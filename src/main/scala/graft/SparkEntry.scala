@@ -57,6 +57,7 @@ object SparkEntry {
     "kg_coref_triples" -> ((s, dir) => KgPipeline.corefTriples(s, dir)),
     "kg_event_bootstrap_scores" -> ((s, dir) =>
       KgPipeline.eventBootstrapScores(s, dir)),
+    "kg_event_emb_scores" -> ((s, dir) => KgPipeline.eventEmbScores(s, dir)),
     "kg_pos_histogram" -> ((s, dir) => KgPipeline.posHistogram(s, dir)),
     "kg_vch_rule_triples" -> ((s, dir) => KgPipeline.vchRuleTriples(s, dir)),
     "kg_fuzzy_rules" -> ((s, dir) => KgPipeline.fuzzyRules(s, dir)),
@@ -115,6 +116,7 @@ object SparkEntry {
     "kg_symmetric_triples" -> OracleSql.kgSymmetricTriples,
     "kg_coref_triples" -> OracleSql.kgCorefTriples,
     "kg_event_bootstrap_scores" -> OracleSql.kgEventBootstrapScores,
+    "kg_event_emb_scores" -> OracleSql.kgEventEmbScores,
     "kg_pos_histogram" -> OracleSql.kgPosHistogram,
     "kg_vch_rule_triples" -> OracleSql.kgVchRuleTriples,
     "kg_fuzzy_rules" -> OracleSql.kgFuzzyRules,

@@ -169,13 +169,35 @@ object Dedup {
 
   // --- SimHash -------------------------------------------------------------
 
-  /** 64-bit SimHash over word hashes. */
-  def simhash(tokens: Iterable[String]): Long = {
+  /** Default 64-bit feature hash: two murmur3 halves — the fast shipped
+    * path (≈ ns/feature, stays cheap inside the per-doc signature loop). */
+  val murmur64: String => Long = { t =>
+    val h1 = MurmurHash3.stringHash(t, 0x9747b28c)
+    val h2 = MurmurHash3.stringHash(t, 0x5bd1e995)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
+  /** ORACLE-PARITY 64-bit feature hash: DuckDB's `md5_number_lower`
+    * (little-endian int of MD5-digest bytes 8..15), so an independent
+    * SQL oracle can recompute per-document simhash signatures from the
+    * raw text. MD5 is ~10× slower than murmur per feature — this hash
+    * exists for gate queries, not the shipped default (see
+    * [[simhashNearDup]]'s `parityHash` flag). */
+  val parityHash64: String => Long = { t =>
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 15
+    while (i >= 8) { v = (v << 8) | (d(i) & 0xffL); i -= 1 }
+    v
+  }
+
+  /** 64-bit SimHash over feature hashes. */
+  def simhash(tokens: Iterable[String],
+              hash64: String => Long = murmur64): Long = {
     val acc = new Array[Int](64)
     tokens.foreach { t =>
-      val h1 = MurmurHash3.stringHash(t, 0x9747b28c)
-      val h2 = MurmurHash3.stringHash(t, 0x5bd1e995)
-      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      val h = hash64(t)
       var i = 0
       while (i < 64) {
         if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
@@ -234,12 +256,14 @@ object Dedup {
     * b >= dist + t, i.e. C(21,10)-ish key explosions), so high-radius
     * Jaccard dedup at 100 TB is [[minhashLsh]]'s job, whose banded
     * buckets DO scale. */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+                   parityHash: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val (bands, bits) = bandScheme(maxDist)
     val mask = if (bits == 64) -1L else (1L << bits) - 1
-    val sh = udf((t: String) => simhash(simhashFeatures(t)))
+    val h64 = if (parityHash) parityHash64 else murmur64
+    val sh = udf((t: String) => simhash(simhashFeatures(t), h64))
     // persist: the self-join consumes this subtree twice; without it the
     // parquet scan + simhash UDF run once per side (released by the
     // caller's clearCache, like every per-query cache here)
@@ -271,12 +295,19 @@ object Dedup {
     * [[bandScheme]]); the `dedup_simhash` driver query pins radius 15
     * explicitly because only that radius reaches every Jaccard-0.8
     * fixture pair, making the independent Jaccard oracle a complete
-    * recall check. */
+    * recall check.
+    *
+    * `parityHash` swaps the murmur feature hash for the MD5-derived
+    * [[parityHash64]] so a SQL oracle can re-derive the hamming filter
+    * independently (the `dedup_simhash_r3` gate) — the banding geometry,
+    * blocked join, codegen'd distance filter and candidate-only verify
+    * are identical either way; only the 64-bit feature-hash constant
+    * differs. Shipped default stays murmur (fast path). */
   def simhashNearDup(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-                     maxDist: Int = 3): DataFrame = {
+                     maxDist: Int = 3, parityHash: Boolean = false): DataFrame = {
     // persisted: consumed twice (candidate-doc id list + verify join)
-    val cand = simhashPairs(docs, maxDist).select(col("ida"), col("idb"))
-      .persist()
+    val cand = simhashPairs(docs, maxDist, parityHash)
+      .select(col("ida"), col("idb")).persist()
     // grams are computed and exploded ONLY for candidate docs: the id
     // join runs BELOW the gram UDF (Catalyst cannot push a join under a
     // UDF projection itself), so at scale the n-gram pass touches the

@@ -494,6 +494,13 @@ object KgPipeline {
     // N of the reference's fpr denominator = the FULL ranking size
     // (one count action over the persisted index chain)
     val nTotal = ranked.count().toDouble
+    // guard the fpr denominator: a ranking no larger than the gold set
+    // (tiny corpus / heavy filtering) would divide by <= 0 — emit NULL
+    // fpr instead, identically on the DuckDB oracle side
+    val fpr =
+      if (nTotal > expansionGold.size)
+        round((col("rank") - col("tp")) / lit(nTotal - expansionGold.size), 6)
+      else lit(null).cast("double")
     ranked.orderBy(desc("score"), asc("term")).limit(SimAt)
       .withColumn("rank", row_number().over(w))
       .withColumn("is_gold", col("term").isin(expansionGold: _*))
@@ -501,23 +508,35 @@ object KgPipeline {
       .select(col("rank"), col("term"), col("is_gold"),
         round(col("tp") / col("rank"), 6).as("precision_at"),
         round(col("tp") / goldN, 6).as("recall_at"),
-        round((col("rank") - col("tp")) / lit(nTotal - expansionGold.size), 6)
-          .as("fpr"))
+        fpr.as("fpr"))
   }
 
-  /** Emitted-rank cap of [[entitySim]] — shared with the DuckDB oracle
-    * so the two sides can never silently disagree on the prefix. */
+  /** Emitted-rank cap of [[entitySim]] and of every driver-side collect
+    * of the expansion ranking ([[edtDict]], [[statusRoundtrip]]) —
+    * shared with the DuckDB oracles so the two sides can never silently
+    * disagree on the prefix. */
   val SimAt = 1000
 
+  /** Bounded ranked prefix of an expansion ranking — a distributed
+    * TakeOrderedAndProject (per-partition heaps of [[SimAt]] rows,
+    * PlanSpec-asserted), so collecting the result stays driver-safe
+    * even when the indexed vocabulary is the whole corpus's noun
+    * inventory. Mirrors the reference's bounded, human-curated entity
+    * set lists (EntitySetExpander caps its queues; Ice.java persists
+    * small lists) — an UNbounded expansion collect was the one
+    * driver-OOM surface left after round 3. */
+  private[graft] def boundedRanking(expansion: DataFrame): DataFrame =
+    expansion.orderBy(desc("score"), asc("term")).limit(SimAt)
+
   /** S12's third dictionary surfaced end-to-end: the EDT-type dict over
-    * the DEMO entity set (the two seeds, sorted, then the expansion
-    * ranking) — `noun | DEMO:DEMO 1` lines per
-    * JetEngineBuilder.buildEDTtypeFile. The expansion collect is the
-    * same bounded ranked list the expander gates use. */
+    * the DEMO entity set (the two seeds, sorted, then the top-[[SimAt]]
+    * expansion ranking) — `noun | DEMO:DEMO 1` lines per
+    * JetEngineBuilder.buildEDTtypeFile. The collect is bounded through
+    * [[boundedRanking]]; the oracle applies the identical cap. */
   def edtDict(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val seeds = Seq(Gen.fillNouns(0), Gen.fillNouns(1)).sorted
-    val expanded = entityExpansion(spark, sfDir)
+    val expanded = boundedRanking(entityExpansion(spark, sfDir))
       .select("term").as[String].collect().toSeq
     Export.edtTypeDict(spark, Seq("DEMO" -> (seeds ++ expanded)))
   }
@@ -542,9 +561,11 @@ object KgPipeline {
       .groupBy(_.relName).map { case (rel, rs) =>
         rel -> rs.map(r => s"${r.type1}--${r.path}--${r.type2}").sorted
       }
-    val expanded = EntitySetStage.expand(spark,
+    // bounded like edtDict: top-SimAt prefix via a distributed top-k,
+    // never the full index vocabulary on the driver
+    val expanded = boundedRanking(EntitySetStage.expand(spark,
         EntitySetStage.entityIndex(EntitySetStage.depEvents(ann)).persist(),
-        seeds = Set(Gen.fillNouns(0), Gen.fillNouns(1)))
+        seeds = Set(Gen.fillNouns(0), Gen.fillNouns(1))))
       .select("term").as[String].collect().toSeq
     val st = graft.sources.IceStatus(
       corpora = Map("main" -> Map(
@@ -555,12 +576,19 @@ object KgPipeline {
       relations = relMap)
     val dir = java.nio.file.Files.createTempDirectory("graft-status")
     val path = dir.resolve("ice.yml").toString
-    graft.sources.StatusStore.save(path, st)
-    val rt = graft.sources.StatusStore.load(path)
-    // eager cleanup (deleteOnExit on a non-empty directory is a no-op):
-    // repeated bench/verify runs must not accumulate graft-status dirs
-    java.nio.file.Files.deleteIfExists(dir.resolve("ice.yml"))
-    java.nio.file.Files.deleteIfExists(dir)
+    // try/finally: a failing save/load must still delete the temp dir
+    // (deleteOnExit on a non-empty directory is a no-op), or repeated
+    // bench/verify runs accumulate graft-status dirs — the ice.yml.tmp
+    // left by an interrupted atomic rename is swept too
+    val rt =
+      try {
+        graft.sources.StatusStore.save(path, st)
+        graft.sources.StatusStore.load(path)
+      } finally {
+        java.nio.file.Files.deleteIfExists(dir.resolve("ice.yml.tmp"))
+        java.nio.file.Files.deleteIfExists(dir.resolve("ice.yml"))
+        java.nio.file.Files.deleteIfExists(dir)
+      }
     val rows =
       rt.corpora.toSeq.flatMap { case (n, ps) =>
         ps.toSeq.map { case (k, v) => ("corpora", n, k, v) } } ++
@@ -681,6 +709,28 @@ object KgPipeline {
     EventBootstrapStage.sharedArgScores(
       EventsStage.events(annotated(spark, sfDir)),
       seedTriggers = Set("visit"), seedType1 = "PERSON", seedType2 = "GPE")
+
+  /** Fixed tiny word embedding for the event-flavored embedding scorer
+    * gate (same fixture role as [[bootstrapEmbedding]]): covers the
+    * seed tree's words plus a spread of triggers/arg types so scores
+    * genuinely separate keys. */
+  val eventEmbedding: Map[String, Array[Double]] = Map(
+    "visit" -> Array(1.0, 0.1), "tour" -> Array(0.9, 0.2),
+    "pay" -> Array(0.2, 0.9), "marry" -> Array(0.1, 1.0),
+    "person" -> Array(0.7, 0.3), "gpe" -> Array(0.6, 0.4),
+    "money" -> Array(0.1, 0.8),
+    "budget" -> Array(0.5, 0.5), "report" -> Array(0.4, 0.6))
+
+  /** Event-flavored embedding scoring surfaced end-to-end
+    * (EventBootstrap.java:418-460): tree vector = sum of word vectors
+    * of trigger + arg values parsed from the type key, score =
+    * cosine(seed-tree centroid, tree) · cnt/(cnt+1), computed in a
+    * narrow map over the event-type count table. Oracle recomputes the
+    * cosine from the same fixed embedding over the independently
+    * derived event-count table. */
+  def eventEmbScores(spark: SparkSession, sfDir: String): DataFrame =
+    EventBootstrapStage.embeddingScores(events(spark, sfDir),
+      seeds = Seq(("visit", Seq("PERSON", "GPE"))), eventEmbedding)
 
   /** Incremental recompute surfaced in the gate (§2.9, the DepPathsLog
     * analog): the committed instance table is merged with a fresh mine

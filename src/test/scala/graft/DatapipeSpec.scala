@@ -144,6 +144,33 @@ class DatapipeSpec extends SparkSpec {
     assert(shipped === expected)
   }
 
+  test("parity hash matches DuckDB md5_number_lower (pinned values)") {
+    // pinned against DuckDB 1.0.0: SELECT md5_number_lower(s) — the
+    // little-endian int of MD5-digest bytes 8..15. If these drift, the
+    // dedup_simhash_r3 oracle's SQL signature recomputation diverges.
+    assert(Dedup.parityHash64("abc") === 8250560606382298838L)
+    assert(Dedup.parityHash64("the quick brown") ===
+      java.lang.Long.parseUnsignedLong("14284679354378825408"))
+    assert(Dedup.parityHash64("") === 9098107892288553193L)
+  }
+
+  test("parity-hash simhash r3 = (hamming<=3 pairs under parity hash) at Jaccard 0.8") {
+    // the dedup_simhash_r3 gate's exact semantics, brute-recomputed
+    // in-test with the same parity hash
+    val sigs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().map { case (id, t) =>
+        (id, Dedup.simhash(Dedup.simhashFeatures(t), Dedup.parityHash64)) }
+    val jac = Dedup.ngramJaccard(docs, threshold = 0.8)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs if ida < idb
+      if java.lang.Long.bitCount(sa ^ sb) <= 3 && jac((ida, idb))
+    } yield (ida, idb)).toSet
+    val gated = Dedup.simhashNearDup(docs, threshold = 0.8, parityHash = true)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(gated === expected)
+  }
+
   test("band scheme: fewest pigeonhole-exact bands per radius") {
     assert(Dedup.bandScheme(0) === ((1, 64)))
     assert(Dedup.bandScheme(3) === ((4, 16)))

@@ -168,6 +168,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("expansion-ranking collects are bounded by a distributed top-k") {
+    // edtDict/statusRoundtrip collect the expansion ranking driver-side;
+    // the boundedRanking prefix they go through must plan as
+    // TakeOrderedAndProject (per-partition heaps), never a global sort
+    // of the index vocabulary followed by an unbounded collect
+    val p = plan(KgPipeline.boundedRanking(
+      KgPipeline.entityExpansion(spark, dir)))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("term-rank top-10 plans as TakeOrderedAndProject (no full sort)") {
     val p = plan(KgPipeline.termRankTop10(spark, dir))
     assert(p.contains("TakeOrderedAndProject"))
