@@ -1,0 +1,68 @@
+#!/bin/bash
+# Dev-only oracle-independence check (driver-side tooling, like
+# compare.py). Proves the DuckDB oracles RE-DERIVE expected results
+# from the corpus spec instead of echoing the Spark implementation:
+# each mutation below perturbs one SPARK-SIDE constant (leaving the
+# oracle untouched), reruns the affected gate, and requires the compare
+# to go RED. A gate that stayed green under a one-sided mutation would
+# be echoing. The tree is restored after each mutation (aborts if the
+# working tree is dirty).
+#
+# Usage: bash tools/oracle_mutation_check.sh [sfdir]  (default sf0.001)
+set -u
+SF="${1:-/root/testdata/sf0.001}"
+cd "$(dirname "$0")/.."
+if ! git diff --quiet; then
+  echo "ABORT: working tree dirty; commit or stash first" >&2
+  exit 2
+fi
+
+run_case() { # name file sed_expr queries
+  local name="$1" file="$2" expr="$3" queries="$4"
+  echo "=== mutation: $name ==="
+  sed -i "$expr" "$file"
+  git diff --stat | head -2
+  local out="/tmp/mut_$name"
+  rm -rf "$out"
+  SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify $SF $out $queries" \
+    > "/tmp/mut_$name.log" 2>&1
+  local cmp
+  cmp=$(python3 tools/compare.py "$SF" "$out" 2>&1 | grep -v MISSING)
+  echo "$cmp"
+  git checkout -- "$file"
+  if echo "$cmp" | grep -q "OK rows"; then
+    echo "RESULT: $name ORACLE DID NOT CATCH THE MUTATION (echo risk)"
+    return 1
+  else
+    echo "RESULT: $name caught (gate red as required)"
+    return 0
+  fi
+}
+
+fails=0
+# 1. money table: the preserved million->10000 reference parity bug.
+#    Spark side "fixed" to 1000000 must diverge from the oracle's
+#    independent value arithmetic.
+run_case money_multiplier src/main/scala/graft/nlp/Nlp.scala \
+  's/"million" -> 10000L/"million" -> 1000000L/' \
+  kg_value_triples || fails=1
+# 2. PMI index threshold: Spark keeps cells > 0.1; oracle re-derives
+#    the same cut from the corpus. A Spark-side threshold drift must go
+#    red across the whole expansion family.
+run_case pmi_threshold src/main/scala/graft/operators/EntitySetStage.scala \
+  's/col("pmi") > 0.1/col("pmi") > 0.2/' \
+  kg_entity_index,kg_entity_expansion || fails=1
+# 3. soft-match threshold: at 0.15 the withheld diedIn candidates
+#    (normalized distance 0.16 to bornIn) stop soft-matching, so the
+#    Spark decode loses rows the oracle still derives.
+run_case softmatch_threshold src/main/scala/graft/functions/Paths.scala \
+  's/val MatchThreshold = 0.5/val MatchThreshold = 0.15/' \
+  kg_triples_soft || fails=1
+
+echo
+if [ "$fails" -eq 0 ]; then
+  echo "ALL MUTATIONS CAUGHT — oracles re-derive, none echo"
+else
+  echo "SOME MUTATION NOT CAUGHT — investigate before trusting the gates"
+fi
+exit $fails
