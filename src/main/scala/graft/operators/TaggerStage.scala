@@ -230,6 +230,34 @@ object TaggerStage {
     }.toDF("doc_id", "pred", "a1_end", "a2_end")
   }
 
+  /** Both scorer sides decoded in ONE narrow pass: each candidate runs
+    * against the key AND response rule states and emits side-tagged
+    * mention rows ("k"/"r"). Halves the candidate passes of the P/R
+    * scorer — the per-candidate soft-match DP is the dominant decode
+    * cost, and the two rule sets share most of it only in the sense
+    * that one scan of the (persisted) instance table now feeds both. */
+  def mentionDecodesBoth(candidates: Dataset[PathInstance],
+                         keyRules: Seq[RelationRule],
+                         respRules: Seq[RelationRule],
+                         wordSim: (String, String) => Double = exactSim)
+      : DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val bcK = spark.sparkContext.broadcast(ruleState(keyRules))
+    val bcR = spark.sparkContext.broadcast(ruleState(respRules))
+    candidates.flatMap { c =>
+      def side(tag: String,
+               st: (Map[(String, String, String), RelationRule],
+                    Seq[(String, String)], Seq[(String, String)],
+                    Map[(String, String), Boolean])) =
+        decode(c, st, wordSim).map { case (rel, invert) =>
+          if (invert) (tag, c.doc_id, rel, c.end2, c.end1)
+          else (tag, c.doc_id, rel, c.end1, c.end2)
+        }
+      side("k", bcK.value) ++ side("r", bcR.value)
+    }.toDF("side", "doc_id", "pred", "a1_end", "a2_end")
+  }
+
   /** Like [[triples]] but keeps the canonical argument forms — value
     * mentions decode to their normalized numeric value (F12), names to
     * their gazetteer canonical. */

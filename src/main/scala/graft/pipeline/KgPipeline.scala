@@ -434,23 +434,34 @@ object KgPipeline {
     * (TypedRelationExtractorScorer.java:97-137) scores them correct. */
   def mentionPr(spark: SparkSession, sfDir: String): DataFrame = {
     // one NLP pass: the persisted annotated set feeds both the instance
-    // mining (rules + two decodes) and the entity-mention head table —
+    // mining (rules + decode) and the entity-mention head table —
     // mentionHeads previously re-annotated the corpus from scratch
     val ann = annotated(spark, sfDir).persist()
     val inst = DepPathsStage.instances(ann).persist()
-    // persisted HERE (caller-owned): both rule resolutions below share
-    // one cached repr agg — rulesFromSeeds leaves caller-persisted
-    // frames alone and only releases its own
-    val repr = DepPathsStage.pathReprTable(inst).persist()
-    val keyRules = TaggerStage.rulesFromSeeds(spark, repr,
-      seedPhrases + ("marriedBy" -> "person(2) married person(1)"))
-    val respRules = TaggerStage.rulesFromSeeds(spark, repr,
-      (seedPhrases - "diedIn") + ("marriedBy" -> "person(1) married person(2)"))
-    repr.unpersist(blocking = false)
+    // ONE rule resolution for BOTH scorer sides: the marriedBy seed is
+    // resolved in both argument orders under distinct placeholder names
+    // and split driver-side — previously each side ran its own
+    // resolve-collect over the repr table
+    val all = TaggerStage.rulesFromSeeds(spark,
+      DepPathsStage.pathReprTable(inst),
+      seedPhrases +
+        ("marriedBy#k" -> "person(2) married person(1)") +
+        ("marriedBy#r" -> "person(1) married person(2)"))
+    def married(tag: String) = all.filter(_.relName == s"marriedBy#$tag")
+      .map(_.copy(relName = "marriedBy"))
+    val base = all.filterNot(_.relName.startsWith("marriedBy#"))
+    val keyRules = base ++ married("k")
+    val respRules = base.filterNot(_.relName == "diedIn") ++ married("r")
+    // one side-tagged decode pass over the persisted instances feeds
+    // both scorer sides (the flatMap previously ran once per side);
+    // persisted because scoreMentions consumes each side's filter once
+    // but the two filters would otherwise re-run the decode
+    val decodes = TaggerStage.mentionDecodesBoth(inst, keyRules, respRules)
+      .persist()
     val ents = mentionHeads(ann)
     Export.scoreMentions(ents, ents,
-        TaggerStage.mentionDecodes(inst, keyRules),
-        TaggerStage.mentionDecodes(inst, respRules),
+        decodes.filter(col("side") === "k").drop("side"),
+        decodes.filter(col("side") === "r").drop("side"),
         symmetricPreds = Set("marriedBy"))
       .select(col("correct_ents"), col("spurious_ents"), col("missing_ents"),
         col("correct_rels"), col("type_errors"), col("spurious_rels"),
