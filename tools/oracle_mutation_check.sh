@@ -48,9 +48,12 @@ run_case money_multiplier src/main/scala/graft/nlp/Nlp.scala \
   kg_value_triples || fails=1
 # 2. PMI index threshold: Spark keeps cells > 0.1; oracle re-derives
 #    the same cut from the corpus. A Spark-side threshold drift must go
-#    red across the whole expansion family.
+#    red across the whole expansion family. 1.7 sits inside the
+#    fixture's pmi range (1.52-2.08) so the mutation genuinely drops
+#    rows — an in-range perturbation, not a vacuous one (0.2 changed
+#    nothing: no fixture pmi falls in (0.1, 0.2]).
 run_case pmi_threshold src/main/scala/graft/operators/EntitySetStage.scala \
-  's/col("pmi") > 0.1/col("pmi") > 0.2/' \
+  's/col("pmi") > 0.1/col("pmi") > 1.7/' \
   kg_entity_index,kg_entity_expansion || fails=1
 # 3. soft-match threshold: at 0.15 the withheld diedIn candidates
 #    (normalized distance 0.16 to bornIn) stop soft-matching, so the
