@@ -320,15 +320,18 @@ object DataQueries {
         |       WHEN fr = greatest(en,de,fr,es) THEN 'fr'
         |       ELSE 'es' END AS pred_lang
         |FROM h""".stripMargin
+    // quantized as floor(x*1e6 + 0.5)/1e6, NOT round(): identical float
+    // ops to the Spark side, so 5e-7-boundary scores cannot flip between
+    // the engines' differing round()-tie semantics (see qualityCol)
     val qualitySql =
-      """SELECT doc_id, round(
+      """SELECT doc_id, floor((
         |  least(len(string_split_regex(trim(text), '\s+')), 50) / 50.0 * 0.5 +
         |  (length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 /
         |   greatest(length(text), 1)) * 0.3 +
         |  (1.0 - len(list_filter(string_split_regex(lower(text), '\s+'),
         |     x -> x IN ('the','a','an','of','and','or','is','to','in','on'))) * 1.0 /
-        |   greatest(len(string_split_regex(trim(text), '\s+')), 1)) * 0.2,
-        |  6) AS quality
+        |   greatest(len(string_split_regex(trim(text), '\s+')), 1)) * 0.2
+        |  ) * 1000000.0 + 0.5) / 1000000.0 AS quality
         |FROM documents""".stripMargin
     Map(
       "text_trainset" ->

