@@ -50,7 +50,14 @@ object Bench {
       // timings report rep 1, so an error surfacing only in rep 2+ must
       // not read as a rep-1 failure
       val tag = if (reps > 1) s"rep $rep: " else ""
-      val pairs = SparkEntry.queries.map { case (name, fn) =>
+      // dev-only focus filter (comma-separated names): time a handful
+      // of queries with the same warmup/clearCache discipline as the
+      // full set — the driver never sets this
+      val only = sys.env.get("SPARK_GRAFT_ONLY")
+        .map(_.split(",").map(_.trim).toSet)
+      val pairs = SparkEntry.queries
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         // NonFatal only: an OOM/LinkageError must abort the run — timings
         // recorded after a fatal error in this JVM would be garbage that
