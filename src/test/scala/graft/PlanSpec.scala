@@ -59,7 +59,7 @@ class PlanSpec extends SparkSpec {
     // verification-oracle duty (no longer behind any query key).
     // Every shipped dedup query must join on bounded bucket/band keys.
     val shipped = Seq("dedup_ngram_jaccard", "dedup_minhash",
-      "dedup_simhash", "dedup_embedding")
+      "dedup_simhash", "dedup_simhash_r3", "dedup_embedding")
     for (q <- shipped) {
       val p = plan(SparkEntry.queries(q)(spark, dir))
       assert(!p.contains("CartesianProduct") &&
