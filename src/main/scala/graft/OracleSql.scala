@@ -1110,11 +1110,11 @@ object OracleSql {
        |  FROM sweep, cnts),
        |fsc AS (SELECT rc, ic, dc,
        |               CASE WHEN p + r = 0 THEN 0
-       |                    ELSE 2 * p * r / (p + r) END AS f1
+       |                    ELSE 2 * p * r / (p + r) END AS f1u
        |        FROM scored)
        |SELECT rc AS replace_cost, ic AS insert_cost, dc AS delete_cost,
-       |       round(f1, 6) AS f1
-       |FROM fsc ORDER BY f1 DESC, rc, ic, dc LIMIT 1""".stripMargin
+       |       round(f1u, 6) AS f1
+       |FROM fsc ORDER BY f1u DESC, rc, ic, dc LIMIT 1""".stripMargin
 
   /** Simulation scorer (Simulation.java:17-70): per-rank P/R + ROC of
     * the expansion ranking vs the gold noun list — tpr = tp/|gold|
