@@ -130,26 +130,35 @@ object EntitySetStage {
       .select(col("term"), col("context"), col("cnt"), col("pmi"))
   }
 
-  /** Expansion scoring (A12): centroid = sum of seed PMI vectors
-    * (driver-side — seeds are a handful), broadcast; score = cosine
-    * with a 0.5-weighted negative-centroid penalty when negatives are
-    * given; ranked descending with a total tiebreak. */
+  /** Expansion scoring (A12): centroid = sum of seed PMI vectors,
+    * computed DISTRIBUTED (seeds are a handful, but the contexts a
+    * web-scale seed occurs in are not — collecting its context vector
+    * onto the driver is the same unbounded materialization the
+    * expansion-ranking collects were cured of); score = cosine with a
+    * 0.5-weighted negative-centroid penalty when negatives are given;
+    * ranked descending with a total tiebreak. Only two SCALARS (the
+    * centroid norms) ever reach the driver; the centroid joins the
+    * index under AQE (no broadcast hint — same unbounded-vocabulary
+    * discipline as the ctxTotals join above). */
   def expand(spark: SparkSession, index: DataFrame, seeds: Set[String],
              negSeeds: Set[String] = Set.empty, gamma: Double = 0.5): DataFrame = {
     import spark.implicits._
-    def centroid(of: Set[String]): Map[String, Double] =
-      if (of.isEmpty) Map.empty
+    def centroidDf(of: Set[String], out: String): DataFrame =
+      if (of.isEmpty) Seq.empty[(String, Double)].toDF("context", out)
       else index.filter(col("term").isin(of.toSeq: _*))
-        .select("context", "pmi").as[(String, Double)].collect()
-        .groupMapReduce(_._1)(_._2)(_ + _)
-    val posC = centroid(seeds)
-    val negC = centroid(negSeeds)
-    val normP = math.sqrt(posC.valuesIterator.map(v => v * v).sum)
-    val normN = math.sqrt(negC.valuesIterator.map(v => v * v).sum)
-    val cen = (posC.keySet ++ negC.keySet).toSeq.map { c =>
-      (c, posC.getOrElse(c, 0.0), negC.getOrElse(c, 0.0))
-    }
-    val cenDf = broadcast(cen.toDF("context", "cen_pos", "cen_neg"))
+        .groupBy(col("context")).agg(sum(col("pmi")).as(out))
+    val cenDf = centroidDf(seeds, "cen_pos")
+      .join(centroidDf(negSeeds, "cen_neg"), Seq("context"), "full_outer")
+    // the centroid is tiny next to the index but built by an agg; one
+    // scalar job extracts the two norms, the join below recomputes the
+    // cheap seed-filter agg rather than pinning cache ownership here
+    val normRow = cenDf.agg(
+      coalesce(sqrt(sum(pow(coalesce(col("cen_pos"), lit(0.0)), 2))),
+        lit(0.0)),
+      coalesce(sqrt(sum(pow(coalesce(col("cen_neg"), lit(0.0)), 2))),
+        lit(0.0))).first()
+    val normP = normRow.getDouble(0)
+    val normN = normRow.getDouble(1)
     val perTerm = index.join(cenDf, Seq("context"), "left")
       .groupBy(col("term"))
       .agg(sum(col("pmi") * coalesce(col("cen_pos"), lit(0.0))).as("dot_pos"),
