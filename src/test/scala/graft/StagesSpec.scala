@@ -122,6 +122,38 @@ class StagesSpec extends SparkSpec {
     assert(scores("tMinus") < 0.0) // pure negative-centroid cosine * -gamma
   }
 
+  test("A12 distributed centroid matches the in-memory arithmetic exactly " +
+      "(overlapping pos/neg contexts, multi-seed sum)") {
+    // pos seeds s1+s2 overlap on c1 (centroid sums), neg seed shares c2
+    // with the pos centroid (full-outer combine leg) and owns c3
+    val idx = Seq(
+      ("s1", "c1", 1L, 1.5), ("s1", "c2", 1L, 0.5),
+      ("s2", "c1", 1L, 2.5),
+      ("sn", "c2", 1L, 1.0), ("sn", "c3", 1L, 2.0),
+      ("t", "c1", 1L, 1.0), ("t", "c2", 1L, 2.0), ("t", "c3", 1L, 1.0))
+      .toDF("term", "context", "cnt", "pmi")
+    val got = EntitySetStage.expand(spark, idx,
+        seeds = Set("s1", "s2"), negSeeds = Set("sn"))
+      .as[(String, Double)].collect().toMap
+    // reference arithmetic, driver-side: posC = {c1: 4.0, c2: 0.5},
+    // negC = {c2: 1.0, c3: 2.0}; t = {c1: 1, c2: 2, c3: 1}
+    val posC = Map("c1" -> 4.0, "c2" -> 0.5)
+    val negC = Map("c2" -> 1.0, "c3" -> 2.0)
+    val t = Map("c1" -> 1.0, "c2" -> 2.0, "c3" -> 1.0)
+    def dot(a: Map[String, Double], b: Map[String, Double]) =
+      a.keysIterator.map(k => a(k) * b.getOrElse(k, 0.0)).sum
+    def norm(a: Map[String, Double]) =
+      math.sqrt(a.valuesIterator.map(v => v * v).sum)
+    val expected = BigDecimal(
+        dot(t, posC) / norm(t) / norm(posC) -
+          0.5 * (dot(t, negC) / norm(t) / norm(negC)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("t") === expected)
+    // sn is not a pos seed, so it stays in the ranking; its score is the
+    // same formula (here strongly negative — it IS the negative centroid)
+    assert(got.contains("sn") && got("sn") < 0)
+  }
+
   test("P/R scorer (A15)") {
     val key = Seq(("d1", "a", "p", "b"), ("d2", "c", "p", "d"))
       .toDF("doc_id", "subj", "pred", "obj")
