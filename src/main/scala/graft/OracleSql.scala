@@ -454,6 +454,48 @@ object OracleSql {
 
   val kgEntityExpansion: String = expansionSql(plainCells, "")
 
+  /** A12 negative-seed leg (reject workflow): the rejected term is the
+    * top of the positive-only ranking — picked on the ROUNDED score
+    * with the term tiebreak, exactly the ordering expand() emits (the
+    * gate corpus' rounded scores are engine-identical, proven by the
+    * kg_entity_expansion hash match) — then every score re-ranks with
+    * the 0.5-weighted negative-centroid cosine subtracted. The rejected
+    * term itself stays in the ranking (only POSITIVE seeds are filtered
+    * from the output), mirroring EntitySetStage.expand. */
+  lazy val kgEntityExpansionNeg: String = {
+    val seeds = s"'${Gen.fillNouns(0)}','${Gen.fillNouns(1)}'"
+    s"""$fillerCte,
+       |${pmiIdxCtes(plainCells)},
+       |cen AS (SELECT context, sum(pmi) AS w FROM idx
+       |        WHERE term IN ($seeds) GROUP BY 1),
+       |np AS (SELECT sqrt(sum(w*w)) AS norm_p FROM cen),
+       |pt AS (
+       |  SELECT i.term,
+       |         sum(i.pmi * coalesce(cen.w, 0)) AS dot_pos,
+       |         sqrt(sum(i.pmi * i.pmi)) AS norm
+       |  FROM idx i LEFT JOIN cen ON i.context = cen.context
+       |  GROUP BY 1),
+       |rej AS (SELECT pt.term FROM pt, np WHERE pt.term NOT IN ($seeds)
+       |        ORDER BY round(pt.dot_pos / pt.norm / np.norm_p, 6) DESC,
+       |                 pt.term
+       |        LIMIT 1),
+       |cenn AS (SELECT context, sum(pmi) AS w FROM idx
+       |         WHERE term IN (SELECT term FROM rej) GROUP BY 1),
+       |nn AS (SELECT sqrt(sum(w*w)) AS norm_n FROM cenn),
+       |pt2 AS (
+       |  SELECT i.term,
+       |         sum(i.pmi * coalesce(cp.w, 0)) AS dot_pos,
+       |         sum(i.pmi * coalesce(cn.w, 0)) AS dot_neg,
+       |         sqrt(sum(i.pmi * i.pmi)) AS norm
+       |  FROM idx i LEFT JOIN cen cp ON i.context = cp.context
+       |             LEFT JOIN cenn cn ON i.context = cn.context
+       |  GROUP BY 1)
+       |SELECT pt2.term,
+       |       round(pt2.dot_pos / pt2.norm / np.norm_p
+       |             - 0.5 * pt2.dot_neg / pt2.norm / nn.norm_n, 6) AS score
+       |FROM pt2, np, nn WHERE pt2.term NOT IN ($seeds)""".stripMargin
+  }
+
   /** F9/F10-filtered expansion: the index is cut to terms with total
     * count > 100 (dropping every dobj-side noun on this corpus, so the
     * centroid comes from the surviving seed alone), marginals/N are

@@ -38,6 +38,8 @@ object SparkEntry {
     "kg_typeless_pairs" -> ((s, dir) => KgPipeline.typelessPairs(s, dir)),
     "kg_entity_index" -> ((s, dir) => KgPipeline.entityIndex(s, dir)),
     "kg_entity_expansion" -> ((s, dir) => KgPipeline.entityExpansion(s, dir)),
+    "kg_entity_expansion_neg" -> ((s, dir) =>
+      KgPipeline.entityExpansionNeg(s, dir)),
     "kg_entity_expansion_filtered" -> ((s, dir) =>
       KgPipeline.entityExpansionFiltered(s, dir)),
     "kg_bootstrap_scores" -> ((s, dir) => KgPipeline.bootstrapScores(s, dir)),
@@ -100,6 +102,7 @@ object SparkEntry {
     "kg_typeless_pairs" -> OracleSql.kgTypelessPairs,
     "kg_entity_index" -> OracleSql.kgEntityIndex,
     "kg_entity_expansion" -> OracleSql.kgEntityExpansion,
+    "kg_entity_expansion_neg" -> OracleSql.kgEntityExpansionNeg,
     "kg_entity_expansion_filtered" -> OracleSql.kgEntityExpansionFiltered,
     "kg_bootstrap_scores" -> OracleSql.kgBootstrapScores,
     "kg_bootstrap_candidates" -> OracleSql.kgBootstrapCandidates,

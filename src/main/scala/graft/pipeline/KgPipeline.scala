@@ -157,6 +157,22 @@ object KgPipeline {
     EntitySetStage.expand(spark, entityIndex(spark, sfDir).persist(),
       seeds = Set(Gen.fillNouns(0), Gen.fillNouns(1)))
 
+  /** A12's negative-seed leg — the reference's reject workflow
+    * (EntitySetExpander.java: a user-rejected suggestion joins the
+    * negative centroid and the ranking re-scores with the 0.5-weighted
+    * penalty). The rejected term is the top-ranked suggestion of the
+    * positive-only ranking — deterministic at every scale, and the
+    * driver fetch is a bounded top-1 (expand already orders the
+    * ranking; limit(1) plans a CollectLimit over it). */
+  def entityExpansionNeg(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = entityIndex(spark, sfDir).persist()
+    val seeds = Set(Gen.fillNouns(0), Gen.fillNouns(1))
+    // empty-corpus guard: no ranking → nothing to reject → pos-only
+    val rejected = EntitySetStage.expand(spark, idx, seeds)
+      .limit(1).collect().headOption.map(_.getString(0))
+    EntitySetStage.expand(spark, idx, seeds, negSeeds = rejected.toSet)
+  }
+
   /** Expansion with the in-loop filters (F9/F10) wired: the cutoff is
     * set high enough (100) to actually drop terms on this corpus —
     * every dobj-side noun falls out of the index, so the expansion
