@@ -178,6 +178,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("negative-seed rejection fetch plans as a bounded top-1") {
+    // entityExpansionNeg picks the rejected term via orderBy+limit(1):
+    // that prefix must plan as TakeOrderedAndProject (bounded heaps),
+    // never a global sort of the ranking ahead of a driver fetch
+    import graft.operators.EntitySetStage
+    import graft.sources.Gen
+    val idx = KgPipeline.entityIndex(spark, dir)
+    val p = plan(EntitySetStage.expand(spark, idx,
+      Set(Gen.fillNouns(0), Gen.fillNouns(1))).limit(1))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("term-rank top-10 plans as TakeOrderedAndProject (no full sort)") {
     val p = plan(KgPipeline.termRankTop10(spark, dir))
     assert(p.contains("TakeOrderedAndProject"))
