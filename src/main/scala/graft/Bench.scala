@@ -55,6 +55,11 @@ object Bench {
       // full set — the driver never sets this
       val only = sys.env.get("SPARK_GRAFT_ONLY")
         .map(_.split(",").map(_.trim).toSet)
+      // a misspelled/stale name would otherwise yield an empty,
+      // green-looking artifact (value 0.0, err_count 0)
+      only.foreach(_.diff(SparkEntry.queries.keySet).foreach(unknown =>
+        System.err.println(s"[bench] ignoring unknown SPARK_GRAFT_ONLY " +
+          s"query: $unknown")))
       val pairs = SparkEntry.queries
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>

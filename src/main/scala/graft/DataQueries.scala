@@ -407,7 +407,8 @@ object DataQueries {
           |      FROM g GROUP BY 1)
           |SELECT w.doc_id,
           |  CASE WHEN len(w.ws) >= 3
-          |       THEN round((r.total - r.dist) * 1.0 / r.total, 6)
+          |       THEN floor((r.total - r.dist) * 1.0 / r.total * 1e6 + 0.5)
+          |            / 1e6
           |       ELSE 0.0 END AS rep_ratio
           |FROM w LEFT JOIN r ON w.doc_id = r.doc_id""".stripMargin,
       "text_redact" ->

@@ -299,11 +299,11 @@ object OracleSql {
        |                             ELSE part END)
        |       GROUP BY 1, 2)
        |SELECT key, cnt,
-       |       round(CASE WHEN sqrt(vx*vx + vy*vy) = 0
+       |       floor(CASE WHEN sqrt(vx*vx + vy*vy) = 0
        |                    OR sqrt(cx*cx + cy*cy) = 0 THEN 0.0
        |                  ELSE (cx*vx + cy*vy) / sqrt(cx*cx + cy*cy)
        |                       / sqrt(vx*vx + vy*vy) END
-       |             * cnt / (cnt + 1), 6) AS score
+       |             * cnt / (cnt + 1) * 1e6 + 0.5) / 1e6 AS score
        |FROM kv, cen""".stripMargin
   }
 
@@ -418,10 +418,12 @@ object OracleSql {
        |n AS (SELECT sum(cnt) AS n FROM cells),
        |idx AS (
        |  SELECT c.term, c.context, c.cnt,
-       |         round(ln(c.cnt / rt.row_total / (ct.ctx_total / n.n)), 6) AS pmi
+       |         floor(ln(c.cnt / rt.row_total / (ct.ctx_total / n.n))
+       |               * 1e6 + 0.5) / 1e6 AS pmi
        |  FROM cells c, rt, ct, n
        |  WHERE c.term = rt.term AND c.context = ct.context
-       |    AND round(ln(c.cnt / rt.row_total / (ct.ctx_total / n.n)), 6) > 0.1
+       |    AND floor(ln(c.cnt / rt.row_total / (ct.ctx_total / n.n))
+       |              * 1e6 + 0.5) / 1e6 > 0.1
        |)""".stripMargin
 
   private val plainCells =
@@ -443,7 +445,9 @@ object OracleSql {
        |  FROM idx i LEFT JOIN cen ON i.context = cen.context
        |  GROUP BY 1
        |)
-       |SELECT pt.term, round(pt.dot_pos / pt.norm / np.norm_p, 6) AS score
+       |SELECT pt.term,
+       |       floor(pt.dot_pos / pt.norm / np.norm_p * 1e6 + 0.5) / 1e6
+       |         AS score
        |FROM pt, np WHERE pt.term NOT IN ($seeds)$extraFilters""".stripMargin
   }
 
@@ -455,13 +459,14 @@ object OracleSql {
   val kgEntityExpansion: String = expansionSql(plainCells, "")
 
   /** A12 negative-seed leg (reject workflow): the rejected term is the
-    * top of the positive-only ranking — picked on the ROUNDED score
-    * with the term tiebreak, exactly the ordering expand() emits (the
-    * gate corpus' rounded scores are engine-identical, proven by the
-    * kg_entity_expansion hash match) — then every score re-ranks with
-    * the 0.5-weighted negative-centroid cosine subtracted. The rejected
-    * term itself stays in the ranking (only POSITIVE seeds are filtered
-    * from the output), mirroring EntitySetStage.expand. */
+    * top of the positive-only ranking — picked on the QUANTIZED score
+    * (floor(x·1e6 + 0.5)/1e6, the same IEEE ops expand() applies, so
+    * the pick is engine-identical by construction rather than relying
+    * on round()-tie parity) with the term tiebreak — then every score
+    * re-ranks with the 0.5-weighted negative-centroid cosine
+    * subtracted. The rejected term itself stays in the ranking (only
+    * POSITIVE seeds are filtered from the output), mirroring
+    * EntitySetStage.expand. */
   lazy val kgEntityExpansionNeg: String = {
     val seeds = s"'${Gen.fillNouns(0)}','${Gen.fillNouns(1)}'"
     s"""$fillerCte,
@@ -476,7 +481,8 @@ object OracleSql {
        |  FROM idx i LEFT JOIN cen ON i.context = cen.context
        |  GROUP BY 1),
        |rej AS (SELECT pt.term FROM pt, np WHERE pt.term NOT IN ($seeds)
-       |        ORDER BY round(pt.dot_pos / pt.norm / np.norm_p, 6) DESC,
+       |        ORDER BY floor(pt.dot_pos / pt.norm / np.norm_p * 1e6
+       |                       + 0.5) / 1e6 DESC,
        |                 pt.term
        |        LIMIT 1),
        |cenn AS (SELECT context, sum(pmi) AS w FROM idx
@@ -491,8 +497,9 @@ object OracleSql {
        |             LEFT JOIN cenn cn ON i.context = cn.context
        |  GROUP BY 1)
        |SELECT pt2.term,
-       |       round(pt2.dot_pos / pt2.norm / np.norm_p
-       |             - 0.5 * pt2.dot_neg / pt2.norm / nn.norm_n, 6) AS score
+       |       floor((pt2.dot_pos / pt2.norm / np.norm_p
+       |              - 0.5 * (pt2.dot_neg / pt2.norm / nn.norm_n))
+       |             * 1e6 + 0.5) / 1e6 AS score
        |FROM pt2, np, nn WHERE pt2.term NOT IN ($seeds)""".stripMargin
   }
 
@@ -520,7 +527,8 @@ object OracleSql {
        |vocab AS MATERIALIZED (
        |  SELECT context, row_number() OVER (ORDER BY context) AS ci
        |  FROM (SELECT DISTINCT context FROM idx)),
-       |tscore AS (SELECT term, round(sum(pmi), 6) AS score FROM idx GROUP BY 1),
+       |tscore AS (SELECT term, floor(sum(pmi) * 1e6 + 0.5) / 1e6 AS score
+       |           FROM idx GROUP BY 1),
        |pool AS (SELECT term, score,
        |         row_number() OVER (ORDER BY score DESC, term) AS pi
        |         FROM tscore ORDER BY score DESC, term LIMIT 20),
@@ -546,11 +554,12 @@ object OracleSql {
     def step(k: Int): String = {
       val p = k - 1
       val cos =
-        s"""round(CASE WHEN sqrt(list_dot_product(ca.cen, ca.cen)) = 0
+        s"""(floor(CASE WHEN sqrt(list_dot_product(ca.cen, ca.cen)) = 0
            |            OR sqrt(list_dot_product(cb.cen, cb.cen)) = 0 THEN 0.0
            |       ELSE list_dot_product(ca.cen, cb.cen) /
            |            (sqrt(list_dot_product(ca.cen, ca.cen)) *
-           |             sqrt(list_dot_product(cb.cen, cb.cen))) END, 6)""".stripMargin
+           |             sqrt(list_dot_product(cb.cen, cb.cen))) END
+           |       * 1e6 + 0.5) / 1e6)""".stripMargin
       s"""c$k AS MATERIALIZED (SELECT root, list(v ORDER BY ci) AS cen FROM (
          |    SELECT a.root AS root, ci.ci AS ci, avg(f.x[ci.ci]) AS v
          |    FROM s$p a JOIN feats f ON f.pi = a.item
@@ -629,7 +638,9 @@ object OracleSql {
        |  FROM mira m, ex e, nn
        |  WHERE e.ti = (m.t % nn.n) + 1 AND m.t < 50 * nn.n
        |)
-       |SELECT e.term, round(list_dot_product(mw.w, e.x), 6) AS mira_score
+       |SELECT e.term,
+       |       floor(list_dot_product(mw.w, e.x) * 1e6 + 0.5) / 1e6
+       |         AS mira_score
        |FROM ex e, (SELECT w FROM mira ORDER BY t DESC LIMIT 1) mw""".stripMargin
   }
 
@@ -643,8 +654,9 @@ object OracleSql {
        |  FROM t WHERE id % 4 = 2 GROUP BY 1
        |)
        |SELECT fg.term, fg.doc_freq, fg.total_freq,
-       |       round(fg.doc_freq * ln(fg.doc_freq) /
-       |             (coalesce(bg.bg_doc_freq, 0) + 1), 6) AS score
+       |       floor(fg.doc_freq * ln(fg.doc_freq) /
+       |             (coalesce(bg.bg_doc_freq, 0) + 1) * 1e6 + 0.5) / 1e6
+       |         AS score
        |FROM fg LEFT JOIN bg ON fg.term = bg.term""".stripMargin
 
   /** O3 (top-K queue, size 10): deterministic (score desc, term)
@@ -667,7 +679,8 @@ object OracleSql {
        |       FROM allp WHERE id % 4 = 2 GROUP BY 1, 2, 3)
        |SELECT fg.type1, fg.path, fg.type2,
        |       fg.cnt AS fg_cnt,
-       |       round(fg.cnt * ln(fg.cnt) / (coalesce(bg.cnt, 0) + 1), 6) AS score
+       |       floor(fg.cnt * ln(fg.cnt) / (coalesce(bg.cnt, 0) + 1)
+       |             * 1e6 + 0.5) / 1e6 AS score
        |FROM fg LEFT JOIN bg ON fg.type1 = bg.type1 AND fg.path = bg.path
        |                    AND fg.type2 = bg.type2""".stripMargin
 
@@ -718,8 +731,8 @@ object OracleSql {
     s"""WITH sc AS ($kgBootstrapScores)
        |SELECT path, total_count, score,
        |       CASE path $reprCase END AS repr,
-       |       round(CAST(score AS DOUBLE) / greatest(total_count, 1), 6)
-       |         AS norm_score
+       |       floor(CAST(score AS DOUBLE) / greatest(total_count, 1)
+       |             * 1e6 + 0.5) / 1e6 AS norm_score
        |FROM sc
        |WHERE CAST(score AS DOUBLE) / greatest(total_count, 1) >= 0.05""".stripMargin
   }
@@ -894,7 +907,8 @@ object OracleSql {
 
   /** A11: embedding-centroid bootstrap scores over the repr inventory —
     * vectors are sums of the fixed word embedding, centroid = the seed
-    * repr's vector, score = round(cosine, 6). */
+    * repr's vector, score = cosine quantized as floor(x·1e6 + 0.5)/1e6
+    * (engine-portable — same IEEE ops as BootstrapStage). */
   lazy val kgBootstrapEmbScores: String = {
     val emb = graft.pipeline.KgPipeline.bootstrapEmbedding.toSeq.sortBy(_._1)
       .map { case (w, v) => s"('$w',${v(0)},${v(1)})" }.mkString(", ")
@@ -908,10 +922,11 @@ object OracleSql {
        |cen AS (SELECT vx AS cx, vy AS cy FROM rv
        |        WHERE repr = 'person lives in gpe')
        |SELECT type1, path, type2, repr,
-       |  round(CASE WHEN sqrt(vx*vx + vy*vy) = 0 OR sqrt(cx*cx + cy*cy) = 0
+       |  floor(CASE WHEN sqrt(vx*vx + vy*vy) = 0 OR sqrt(cx*cx + cy*cy) = 0
        |             THEN 0.0
        |             ELSE (cx*vx + cy*vy) / sqrt(cx*cx + cy*cy)
-       |                  / sqrt(vx*vx + vy*vy) END, 6) AS score
+       |                  / sqrt(vx*vx + vy*vy) END * 1e6 + 0.5) / 1e6
+       |    AS score
        |FROM rv, cen WHERE repr <> 'person lives in gpe'""".stripMargin
   }
 
@@ -969,8 +984,10 @@ object OracleSql {
        |  SELECT 1 FROM r WHERE k.doc_id = r.doc_id AND k.subj = r.subj
        |    AND k.pred = r.pred AND k.obj = r.obj))
        |SELECT c.n AS correct, s.n AS spurious, m.n AS missing,
-       |       round(CAST(c.n AS DOUBLE) / (c.n + s.n), 6) AS precision,
-       |       round(CAST(c.n AS DOUBLE) / (c.n + m.n), 6) AS recall
+       |       floor(CAST(c.n AS DOUBLE) / (c.n + s.n) * 1e6 + 0.5) / 1e6
+       |         AS precision,
+       |       floor(CAST(c.n AS DOUBLE) / (c.n + m.n) * 1e6 + 0.5) / 1e6
+       |         AS recall
        |FROM c, s, m""".stripMargin
 
   /** A15/J9 faithful-scorer oracle: entity alignment = every mention's
@@ -1031,10 +1048,11 @@ object OracleSql {
        |  CAST(0 AS BIGINT) AS spurious_ents, CAST(0 AS BIGINT) AS missing_ents,
        |  rc.c AS correct_rels, rc.t AS type_errors,
        |  CAST(0 AS BIGINT) AS spurious_rels, CAST(0 AS BIGINT) AS missing_rels,
-       |  round(rc.c * 1.0 / (rc.c + rc.t), 6) AS precision,
-       |  round(rc.c * 1.0 / (rc.c + rc.t), 6) AS recall,
-       |  round(2.0 * (rc.c * 1.0 / (rc.c + rc.t)) * (rc.c * 1.0 / (rc.c + rc.t))
-       |        / ((rc.c * 1.0 / (rc.c + rc.t)) + (rc.c * 1.0 / (rc.c + rc.t))), 6)
+       |  floor(rc.c * 1.0 / (rc.c + rc.t) * 1e6 + 0.5) / 1e6 AS precision,
+       |  floor(rc.c * 1.0 / (rc.c + rc.t) * 1e6 + 0.5) / 1e6 AS recall,
+       |  floor(2.0 * (rc.c * 1.0 / (rc.c + rc.t)) * (rc.c * 1.0 / (rc.c + rc.t))
+       |        / ((rc.c * 1.0 / (rc.c + rc.t)) + (rc.c * 1.0 / (rc.c + rc.t)))
+       |        * 1e6 + 0.5) / 1e6
        |    AS f1
        |FROM ec, rc""".stripMargin
   }
@@ -1155,7 +1173,7 @@ object OracleSql {
        |                    ELSE 2 * p * r / (p + r) END AS f1u
        |        FROM scored)
        |SELECT rc AS replace_cost, ic AS insert_cost, dc AS delete_cost,
-       |       round(f1u, 6) AS f1
+       |       floor(f1u * 1e6 + 0.5) / 1e6 AS f1
        |FROM fsc ORDER BY f1u DESC, rc, ic, dc LIMIT 1""".stripMargin
 
   /** Simulation scorer (Simulation.java:17-70): per-rank P/R + ROC of
@@ -1180,10 +1198,11 @@ object OracleSql {
        |             (SELECT count(*) FROM r) AS n
        |      FROM rr)
        |SELECT rank, term, is_gold,
-       |       round(tp * 1.0 / rank, 6) AS precision_at,
-       |       round(tp * 1.0 / $goldN, 6) AS recall_at,
+       |       floor(tp * 1.0 / rank * 1e6 + 0.5) / 1e6 AS precision_at,
+       |       floor(tp * 1.0 / $goldN * 1e6 + 0.5) / 1e6 AS recall_at,
        |       CASE WHEN n > $goldN
-       |            THEN round((rank - tp) * 1.0 / (n - $goldN), 6)
+       |            THEN floor((rank - tp) * 1.0 / (n - $goldN)
+       |                       * 1e6 + 0.5) / 1e6
        |            ELSE NULL END AS fpr
        |FROM c""".stripMargin
   }

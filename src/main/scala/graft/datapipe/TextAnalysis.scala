@@ -137,8 +137,9 @@ object TextAnalysis {
     val grams = transform(idx,
       i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*))
     val ratio = when(size(ws) >= n,
-        round((size(grams) - size(array_distinct(grams))).cast("double") /
-          size(grams), 6))
+        graft.functions.Quantize.q6(
+          (size(grams) - size(array_distinct(grams))).cast("double") /
+            size(grams)))
       .otherwise(lit(0.0))
     docs.select(col("doc_id"), ratio.as("rep_ratio"))
   }

@@ -61,14 +61,18 @@ object Expanders {
     // minClusters — the guard is "< minClusters", not "==")
     while (!done && clusters.length >= minClusters) {
       // gravitation g = maxScore(c1) * maxScore(c2) / r^2, r = 1 - cosine.
-      // The cosine is rounded to 6 dp BEFORE entering r: centroid sums
-      // run in engine-specific order, and the rounding absorbs the ULP
-      // noise so an independent engine (the DuckDB gate oracle)
-      // recomputing the same merges compares identical doubles.
+      // The cosine is quantized to 6 dp BEFORE entering r: centroid sums
+      // run in engine-specific order, and the quantization absorbs the
+      // ULP noise so an independent engine (the DuckDB gate oracle)
+      // recomputing the same merges compares identical doubles. The
+      // quantizer is the engine-portable floor(x·1e6 + 0.5)/1e6 (see
+      // TextAnalysis.qualityCol), NOT round(): the argmax below cuts on
+      // this value, and a round()-tie flip between engines would change
+      // WHICH pair merges — cascading through every later merge step.
       var best = (-1, -1, -1.0)
       for (i <- clusters.indices; j <- (i + 1) until clusters.length) {
-        val cos6 = BigDecimal(cosine(centroid(clusters(i)), centroid(clusters(j))))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val cos6 =
+          Quantize.q6(cosine(centroid(clusters(i)), centroid(clusters(j))))
         val r = 1.0 - cos6 + 1e-9
         val g = clusters(i).map(_.score).max * clusters(j).map(_.score).max / (r * r)
         if (g > best._3) best = (i, j, g)

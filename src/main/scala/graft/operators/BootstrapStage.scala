@@ -100,8 +100,7 @@ object BootstrapStage {
           var i = 0; while (i < v.length) { v(i) += x(i); i += 1 }
         }
       }
-      BigDecimal(cos(bcC.value, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble
+      graft.functions.Quantize.q6(cos(bcC.value, v))
     }
     reprTable.select(col("type1"), col("path"), col("type2"), col("repr"))
       .withColumn("score", score(col("repr")))

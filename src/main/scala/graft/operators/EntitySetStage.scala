@@ -124,8 +124,12 @@ object EntitySetStage {
     // vocabulary outgrows an executor
     cells.join(rowTotals, "term")
       .join(ctxTotals, "context")
-      .withColumn("pmi", round(
-        log(col("cnt") / col("row_total") / (col("ctx_total") / lit(n))), 6))
+      // quantized engine-portably (Quantize.q6): the pmi value feeds the
+      // 0.1 cut AND every downstream centroid/score sum, so a Spark/
+      // DuckDB round()-tie flip here would cascade through the whole
+      // expansion family
+      .withColumn("pmi", graft.functions.Quantize.q6(
+        log(col("cnt") / col("row_total") / (col("ctx_total") / lit(n)))))
       .filter(col("pmi") > 0.1)
       .select(col("term"), col("context"), col("cnt"), col("pmi"))
   }
@@ -136,10 +140,16 @@ object EntitySetStage {
     * onto the driver is the same unbounded materialization the
     * expansion-ranking collects were cured of); score = cosine with a
     * 0.5-weighted negative-centroid penalty when negatives are given;
-    * ranked descending with a total tiebreak. Only two SCALARS (the
-    * centroid norms) ever reach the driver; the centroid joins the
-    * index under AQE (no broadcast hint — same unbounded-vocabulary
-    * discipline as the ctxTotals join above). */
+    * ranked descending with a total tiebreak. The centroid norms ride
+    * along as a 1-row cross join (NOT a driver .first(): that would
+    * launch the whole PMI-index job eagerly at plan-construction time,
+    * and twice per expand); the centroid joins the index under AQE (no
+    * broadcast hint — same unbounded-vocabulary discipline as the
+    * ctxTotals join above). The score is quantized engine-portably
+    * (Quantize.q6) rather than round()ed: the ranking (and the
+    * negative-seed leg's top-1 rejection) cuts on this value, and a
+    * round()-at-a-tie flip between Spark and the DuckDB oracle would
+    * change WHICH term wins, not just a last digit. */
   def expand(spark: SparkSession, index: DataFrame, seeds: Set[String],
              negSeeds: Set[String] = Set.empty, gamma: Double = 0.5): DataFrame = {
     import spark.implicits._
@@ -149,27 +159,24 @@ object EntitySetStage {
         .groupBy(col("context")).agg(sum(col("pmi")).as(out))
     val cenDf = centroidDf(seeds, "cen_pos")
       .join(centroidDf(negSeeds, "cen_neg"), Seq("context"), "full_outer")
-    // the centroid is tiny next to the index but built by an agg; one
-    // scalar job extracts the two norms, the join below recomputes the
-    // cheap seed-filter agg rather than pinning cache ownership here
-    val normRow = cenDf.agg(
+    val normDf = cenDf.agg(
       coalesce(sqrt(sum(pow(coalesce(col("cen_pos"), lit(0.0)), 2))),
-        lit(0.0)),
+        lit(0.0)).as("norm_p"),
       coalesce(sqrt(sum(pow(coalesce(col("cen_neg"), lit(0.0)), 2))),
-        lit(0.0))).first()
-    val normP = normRow.getDouble(0)
-    val normN = normRow.getDouble(1)
+        lit(0.0)).as("norm_n"))
     val perTerm = index.join(cenDf, Seq("context"), "left")
       .groupBy(col("term"))
       .agg(sum(col("pmi") * coalesce(col("cen_pos"), lit(0.0))).as("dot_pos"),
            sum(col("pmi") * coalesce(col("cen_neg"), lit(0.0))).as("dot_neg"),
            sqrt(sum(col("pmi") * col("pmi"))).as("norm"))
-    val posCos = if (normP == 0) lit(0.0)
-      else col("dot_pos") / col("norm") / lit(normP)
-    val negCos = if (normN == 0) lit(0.0)
-      else col("dot_neg") / col("norm") / lit(normN)
+      .crossJoin(normDf)
+    val posCos = when(col("norm_p") === 0, lit(0.0))
+      .otherwise(col("dot_pos") / col("norm") / col("norm_p"))
+    val negCos = when(col("norm_n") === 0, lit(0.0))
+      .otherwise(col("dot_neg") / col("norm") / col("norm_n"))
     perTerm
-      .withColumn("score", round(posCos - lit(gamma) * negCos, 6))
+      .withColumn("score",
+        graft.functions.Quantize.q6(posCos - lit(gamma) * negCos))
       .filter(!col("term").isin(seeds.toSeq: _*))
       .select(col("term"), col("score"))
       .orderBy(desc("score"), asc("term"))

@@ -69,9 +69,9 @@ object EventBootstrapStage {
       .filter(if (rejectKeys.isEmpty) lit(true)
               else !col("key").isin(rejectKeys.toSeq: _*))
       .join(broadcast(totals), Seq("trigger"))
-      .withColumn("score", round(
+      .withColumn("score", graft.functions.Quantize.q6(
         col("shared").cast("double") / col("total_count") *
-          col("shared") / (col("shared") + lit(1)), 6))
+          col("shared") / (col("shared") + lit(1))))
       .select(col("key"), col("trigger"), col("shared"),
         col("total_count"), col("score"))
   }
@@ -170,8 +170,7 @@ object EventBootstrapStage {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < v.length) { d += c(i) * v(i); na += c(i) * c(i); nb += v(i) * v(i); i += 1 }
       val cos = if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na) / math.sqrt(nb)
-      BigDecimal(cos * cnt.toDouble / (cnt + 1))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      graft.functions.Quantize.q6(cos * cnt.toDouble / (cnt + 1))
     }
     eventTypes.withColumn("score", score(col("key"), col("cnt")))
   }

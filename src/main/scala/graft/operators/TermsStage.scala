@@ -65,8 +65,9 @@ object TermsStage {
       col("doc_freq").as("bg_doc_freq"))
     fg.join(bgc, col("term") === col("bg_term"), "left")
       .withColumn("score",
-        round(col("doc_freq") * log(col("doc_freq").cast("double")) /
-          (coalesce(col("bg_doc_freq"), lit(0L)) + lit(1)), 6))
+        graft.functions.Quantize.q6(
+          col("doc_freq") * log(col("doc_freq").cast("double")) /
+            (coalesce(col("bg_doc_freq"), lit(0L)) + lit(1))))
       .select(col("term"), col("doc_freq"), col("total_freq"), col("score"))
   }
 }

@@ -118,8 +118,9 @@ object KgPipeline {
       .select(col("type1"), col("path"), col("type2"), col("cnt").as("bg_cnt"))
     fg.join(bg, Seq("type1", "path", "type2"), "left")
       .select(col("type1"), col("path"), col("type2"), col("cnt").as("fg_cnt"),
-        round(col("cnt") * log(col("cnt").cast("double")) /
-          (coalesce(col("bg_cnt"), lit(0L)) + lit(1)), 6).as("score"))
+        graft.functions.Quantize.q6(
+          col("cnt") * log(col("cnt").cast("double")) /
+            (coalesce(col("bg_cnt"), lit(0L)) + lit(1))).as("score"))
   }
 
   /** O3 top-K queue (size 10, the reference's recommendation queues,
@@ -193,7 +194,7 @@ object KgPipeline {
       : Seq[graft.functions.Expanders.ScoredTerm] = {
     val idx = entityIndex(spark, sfDir).persist()
     val topTerms = idx.groupBy(col("term"))
-      .agg(round(sum(col("pmi")), 6).as("score"))
+      .agg(graft.functions.Quantize.q6(sum(col("pmi"))).as("score"))
       .orderBy(desc("score"), asc("term")).limit(top)
     val rows = idx.join(broadcast(topTerms), Seq("term"))
       .select(col("term"), col("score"), col("context"), col("pmi"))
@@ -232,8 +233,8 @@ object KgPipeline {
     val examples = terms.map(t => (t.features, seeds(t.term)))
     val w = graft.functions.Expanders.miraTrain(examples)
     terms.map { t =>
-      (t.term, BigDecimal(graft.functions.Expanders.miraScore(w, t.features))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (t.term, graft.functions.Quantize.q6(
+        graft.functions.Expanders.miraScore(w, t.features)))
     }.toDF("term", "mira_score")
   }
 
@@ -252,7 +253,7 @@ object KgPipeline {
     val scores = BootstrapStage.sharedArgScores(inst,
       seedPaths = Set(Gen.predPaths(0)))
     BootstrapStage.candidates(scores, DepPathsStage.pathReprTable(inst))
-      .withColumn("norm_score", round(col("norm_score"), 6))
+      .withColumn("norm_score", graft.functions.Quantize.q6(col("norm_score")))
   }
 
   def events(spark: SparkSession, sfDir: String): DataFrame =
@@ -360,8 +361,8 @@ object KgPipeline {
     val resp = TaggerStage.triples(inst, all.filterNot(_.relName == "diedIn"))
     Export.score(key.toDF(), resp.toDF())
       .select(col("correct"), col("spurious"), col("missing"),
-        round(col("precision"), 6).as("precision"),
-        round(col("recall"), 6).as("recall"))
+        graft.functions.Quantize.q6(col("precision")).as("precision"),
+        graft.functions.Quantize.q6(col("recall")).as("recall"))
   }
 
   /** F5 surfaced end-to-end: normalized-POS histogram over every token
@@ -482,9 +483,9 @@ object KgPipeline {
       .select(col("correct_ents"), col("spurious_ents"), col("missing_ents"),
         col("correct_rels"), col("type_errors"), col("spurious_rels"),
         col("missing_rels"),
-        round(col("precision"), 6).as("precision"),
-        round(col("recall"), 6).as("recall"),
-        round(col("f1"), 6).as("f1"))
+        graft.functions.Quantize.q6(col("precision")).as("precision"),
+        graft.functions.Quantize.q6(col("recall")).as("recall"),
+        graft.functions.Quantize.q6(col("f1")).as("f1"))
   }
 
   /** The expansion gold set for the simulation scorer: the filler nouns
@@ -526,15 +527,17 @@ object KgPipeline {
     // fpr instead, identically on the DuckDB oracle side
     val fpr =
       if (nTotal > expansionGold.size)
-        round((col("rank") - col("tp")) / lit(nTotal - expansionGold.size), 6)
+        graft.functions.Quantize.q6(
+          (col("rank") - col("tp")) / lit(nTotal - expansionGold.size))
       else lit(null).cast("double")
     ranked.orderBy(desc("score"), asc("term")).limit(SimAt)
       .withColumn("rank", row_number().over(w))
       .withColumn("is_gold", col("term").isin(expansionGold: _*))
       .withColumn("tp", sum(when(col("is_gold"), 1).otherwise(0)).over(cum))
       .select(col("rank"), col("term"), col("is_gold"),
-        round(col("tp") / col("rank"), 6).as("precision_at"),
-        round(col("tp") / goldN, 6).as("recall_at"),
+        graft.functions.Quantize.q6(col("tp") / col("rank"))
+          .as("precision_at"),
+        graft.functions.Quantize.q6(col("tp") / goldN).as("recall_at"),
         fpr.as("fpr"))
   }
 
@@ -688,7 +691,7 @@ object KgPipeline {
     }
     val (best, score) = graft.functions.Expanders.tuneCosts(f1)
     Seq((best.replace, best.insert, best.delete,
-      BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      graft.functions.Quantize.q6(score)))
       .toDF("replace_cost", "insert_cost", "delete_cost", "f1")
   }
 

@@ -134,8 +134,13 @@ def main():
     outdir = sys.argv[1]
     scale = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
     os.makedirs(outdir, exist_ok=True)
-    # independent per-table streams: regenerating one table never shifts
-    # another's content
+    # documents/embeddings/events each get their own stream (rng_for
+    # 1..3), so regenerating one of THOSE never shifts another. The five
+    # TPC-ish tables below all draw sequentially from the single
+    # rng_for(0) stream, so they reproduce only as a block in this
+    # order — change any TPC table's size or order and every later TPC
+    # table's content shifts. The recorded sf1.0 sweep used exactly
+    # this script at scale=10; regenerate all-or-nothing to reproduce it.
     def rng_for(k):
         return np.random.default_rng(777 + k)
     rng = rng_for(0)

@@ -21,11 +21,36 @@ run_case() { # name file sed_expr queries
   local name="$1" file="$2" expr="$3" queries="$4"
   echo "=== mutation: $name ==="
   sed -i "$expr" "$file"
+  if git diff --quiet -- "$file"; then
+    # a sed that matches nothing is a vacuous mutation — the gate would
+    # stay green for the wrong reason
+    echo "RESULT: $name SED MATCHED NOTHING (stale pattern — not evidence)"
+    return 1
+  fi
   git diff --stat | head -2
   local out="/tmp/mut_$name"
   rm -rf "$out"
   SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify $SF $out $queries" \
     > "/tmp/mut_$name.log" 2>&1
+  local rc=$?
+  if [ $rc -ne 0 ]; then
+    # a mutant that fails to compile/run proves NOTHING about the
+    # oracle — without this check the empty compare output below would
+    # be mis-read as "gate red", i.e. false independence evidence
+    echo "RESULT: $name MUTATED BUILD/RUN FAILED (rc=$rc, see /tmp/mut_$name.log) — not evidence"
+    git checkout -- "$file"
+    return 1
+  fi
+  # every TARGET gate must actually have produced output (compare.py
+  # prints MISSING for all non-subset queries too, so filter by target)
+  local q
+  for q in ${queries//,/ }; do
+    if [ ! -d "$out/$q" ]; then
+      echo "RESULT: $name TARGET OUTPUT $q MISSING — not evidence"
+      git checkout -- "$file"
+      return 1
+    fi
+  done
   local cmp
   cmp=$(python3 tools/compare.py "$SF" "$out" 2>&1 | grep -v MISSING)
   echo "$cmp"
