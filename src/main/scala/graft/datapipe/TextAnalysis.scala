@@ -54,14 +54,10 @@ object TextAnalysis {
     * stopword ratio — rational arithmetic over ints so any engine
     * computes the identical double. */
   /** Column form of the quality score (see [[langIdCol]] for why).
-    * Quantized to 1e-6 as `floor(x·1e6 + 0.5)/1e6` rather than engine
-    * `round()`: the raw score is bit-identical across IEEE engines
-    * (same op order), but round()-at-a-tie is NOT — Spark converts the
-    * binary double to exact decimal then half-ups, DuckDB multiplies by
-    * 1e6 first — so scores landing on a 5e-7 boundary (measured at the
-    * 50k-doc sweep scale) flip between engines. floor(x·1e6 + 0.5) is
-    * the same float ops on both sides: deterministic half-up for the
-    * non-negative domain. */
+    * Quantized engine-portably ([[graft.functions.Quantize]]) — this
+    * was the site where the round()-tie divergence was first MEASURED
+    * (5 of 50k scores at the sf1.0 sweep flipped between Spark and
+    * DuckDB); every cross-engine score now quantizes the same way. */
   def qualityCol(text: Column): Column = {
     val n = size(toks(text)).cast("double")
     val alpha = length(regexp_replace(lower(text), "[^a-z]", ""))
@@ -70,7 +66,7 @@ object TextAnalysis {
       w => stopwordList.map(m => w === m).reduce(_ || _))).cast("double")
     val raw = least(n, lit(50.0)) / 50.0 * 0.5 + alpha * 0.3 +
       (lit(1.0) - stops / greatest(n, lit(1.0))) * 0.2
-    floor(raw * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    graft.functions.Quantize.q6(raw)
   }
 
   def qualityScore(docs: DataFrame): DataFrame =
