@@ -269,8 +269,8 @@ object OracleSql {
        |tot AS (SELECT count(*) AS total FROM tp)
        |SELECT 'tour nsubj:PERSON dobj:GPE' AS key, 'tour' AS "trigger",
        |       sh.shared AS shared, tot.total AS total_count,
-       |       round(sh.shared * 1.0 / tot.total * sh.shared / (sh.shared + 1), 6)
-       |         AS score
+       |       floor(sh.shared * 1.0 / tot.total * sh.shared / (sh.shared + 1)
+       |             * 1e6 + 0.5) / 1e6 AS score
        |FROM sh, tot WHERE sh.shared > 0""".stripMargin
 
   /** Event-flavored embedding scoring (EventBootstrap.java:418-460):
