@@ -8,8 +8,15 @@
 # be echoing. The tree is restored after each mutation (aborts if the
 # working tree is dirty).
 #
-# Usage: bash tools/oracle_mutation_check.sh [sfdir]  (default sf0.001)
+# Usage: bash tools/oracle_mutation_check.sh [sfdir]   (default sf0.001)
+#        bash tools/oracle_mutation_check.sh --selftest
+# --selftest exercises the NON-evidence guards on purpose (a sed that
+# matches nothing, a mutant that cannot compile) and requires run_case
+# to reject both — proving the tool cannot mis-report a broken mutant
+# run as "gate red".
 set -u
+SELFTEST=0
+if [ "${1:-}" = "--selftest" ]; then SELFTEST=1; shift; fi
 SF="${1:-/root/testdata/sf0.001}"
 cd "$(dirname "$0")/.."
 if ! git diff --quiet; then
@@ -63,6 +70,27 @@ run_case() { # name file sed_expr queries
     return 0
   fi
 }
+
+if [ "$SELFTEST" -eq 1 ]; then
+  st_fails=0
+  # guard 1: a sed pattern matching nothing must be rejected, not
+  # silently treated as a mutation
+  if run_case selftest_vacuous src/main/scala/graft/nlp/Nlp.scala \
+       's/THIS_PATTERN_MATCHES_NOTHING_9f3a/x/' kg_value_triples; then
+    echo "SELFTEST FAIL: vacuous sed was accepted as evidence"; st_fails=1
+  fi
+  # guard 2: a mutant that cannot compile must be rejected, not
+  # mis-read as a red gate
+  if run_case selftest_nocompile src/main/scala/graft/nlp/Nlp.scala \
+       's/"million" -> 10000L/"million" -> THIS_DOES_NOT_COMPILE(/' \
+       kg_value_triples; then
+    echo "SELFTEST FAIL: non-compiling mutant was accepted as evidence"; st_fails=1
+  fi
+  if [ "$st_fails" -eq 0 ]; then
+    echo "SELFTEST OK — both non-evidence guards reject as required"
+  fi
+  exit $st_fails
+fi
 
 fails=0
 # 1. money table: the preserved million->10000 reference parity bug.
