@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions.Quantize
+import org.apache.spark.sql.functions.col
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Test.{check, Parameters}
+
+/** Every cross-engine gate score rests on Quantize.q6, so its algebra
+  * is pinned here: the Catalyst column form and the driver-side scalar
+  * form compute the identical double (they must — driver-computed
+  * scores like MIRA/tuned-costs are hash-compared against SQL-computed
+  * oracles through the same quantizer), exact half-ties go UP (the
+  * floor(x·1e6 + 0.5) definition, deterministic on both engines,
+  * unlike engine round() whose tie direction differs between Spark and
+  * DuckDB), and the function is idempotent on its own range. */
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def passes(p: Prop): Unit = {
+    val r = check(Parameters.default.withMinSuccessfulTests(200), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  // scores in practice are cosines / log-ratios / probabilities — keep
+  // the generator in a realistic magnitude band (|x| ≤ 1e6), plus the
+  // exact-tie and negative corners below
+  private val scoreGen: Gen[Double] = Gen.oneOf(
+    Gen.chooseNum(-1.0, 1.0),
+    Gen.chooseNum(-1e6, 1e6),
+    Gen.chooseNum(-100.0, 100.0).map(x => Quantize.q6(x) + 5e-7))
+
+  test("column form and scalar form agree bit-for-bit") {
+    passes(Prop.forAll(Gen.listOfN(64, scoreGen)) { xs =>
+      val viaColumn = xs.toDF("x")
+        .select(Quantize.q6(col("x")).as("q")).as[Double].collect()
+      viaColumn.zip(xs.map(Quantize.q6)).forall { case (a, b) =>
+        java.lang.Double.doubleToRawLongBits(a) ==
+          java.lang.Double.doubleToRawLongBits(b)
+      }
+    })
+  }
+
+  test("exact half-ties quantize up (toward +inf), both signs") {
+    // 2.5e-6·1e6 = 2.5 exactly (binary-representable) → floor(3.0)
+    assert(Quantize.q6(2.5e-6) === 3e-6)
+    // -2.5 + 0.5 = -2.0 → -2e-6, i.e. UP toward +inf, not away from 0
+    assert(Quantize.q6(-2.5e-6) === -2e-6)
+    assert(Quantize.q6(0.0) === 0.0)
+  }
+
+  test("idempotent and within half a grid step of the input") {
+    passes(Prop.forAll(scoreGen) { x =>
+      val q = Quantize.q6(x)
+      // half a 1e-6 grid step, plus the float slack of the ×1e6 trip
+      Quantize.q6(q) == q &&
+        math.abs(q - x) <= 5e-7 + math.ulp(x * 1e6) / 1e6 + math.ulp(1.0)
+    })
+  }
+
+  test("order-preserving: quantized compare never inverts a raw compare") {
+    passes(Prop.forAll(scoreGen, scoreGen) { (a, b) =>
+      if (a <= b) Quantize.q6(a) <= Quantize.q6(b)
+      else Quantize.q6(a) >= Quantize.q6(b)
+    })
+  }
+}
