@@ -32,11 +32,11 @@ object Bench {
     } catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // default 3 reps (override via SPARK_GRAFT_REPS): the whole query
-    // set repeats and the line reports rep-1 per-query times plus EVERY
-    // rep's total, so host-mode drift (BASELINE.md: ±30% run-to-run on
-    // this microVM) is visible inside one JSON artifact — round-3's
-    // single-rep file could not distinguish a regression from a
-    // degraded-host window
+    // set repeats; the line reports per-query MEDIANS across reps plus
+    // EVERY rep's raw total, so host-mode drift (BASELINE.md: ±30%
+    // run-to-run on this microVM) is visible inside one JSON artifact —
+    // round-3's single-rep file could not distinguish a regression from
+    // a degraded-host window
     val repsRaw = sys.env.get("SPARK_GRAFT_REPS")
     // malformed value → warn + default, never an uncaught
     // NumberFormatException that aborts the run before any JSON line
@@ -45,21 +45,20 @@ object Bench {
         System.err.println(s"[bench] ignoring malformed SPARK_GRAFT_REPS=$v"))
       3
     }
+    // dev-only focus filter (comma-separated names): time a handful
+    // of queries with the same warmup/clearCache discipline as the
+    // full set — the driver never sets this
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    // a misspelled/stale name would otherwise yield an empty,
+    // green-looking artifact (value 0.0, err_count 0)
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(unknown =>
+      System.err.println(s"[bench] ignoring unknown SPARK_GRAFT_ONLY " +
+        s"query: $unknown")))
     def oneRep(rep: Int): scala.collection.immutable.ListMap[String, Double] = {
-      // multi-rep runs tag failures with the rep index — per-query
-      // timings report rep 1, so an error surfacing only in rep 2+ must
-      // not read as a rep-1 failure
+      // multi-rep runs tag failures with the rep index, so an error
+      // surfacing only in rep 2+ must not read as a rep-1 failure
       val tag = if (reps > 1) s"rep $rep: " else ""
-      // dev-only focus filter (comma-separated names): time a handful
-      // of queries with the same warmup/clearCache discipline as the
-      // full set — the driver never sets this
-      val only = sys.env.get("SPARK_GRAFT_ONLY")
-        .map(_.split(",").map(_.trim).toSet)
-      // a misspelled/stale name would otherwise yield an empty,
-      // green-looking artifact (value 0.0, err_count 0)
-      only.foreach(_.diff(SparkEntry.queries.keySet).foreach(unknown =>
-        System.err.println(s"[bench] ignoring unknown SPARK_GRAFT_ONLY " +
-          s"query: $unknown")))
       val pairs = SparkEntry.queries
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>

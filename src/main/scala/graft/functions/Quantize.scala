@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{floor, lit}
+import org.apache.spark.sql.functions.{abs, floor, isnan, lit, when}
 
 /** Engine-portable 6-dp score quantization.
   *
@@ -19,9 +19,15 @@ import org.apache.spark.sql.functions.{floor, lit}
   * identical by construction. Scalar twin for driver-side code below.
   */
 object Quantize {
-  /** Column form: floor(x·1e6 + 0.5)/1e6. */
+  /** Column form: floor(x·1e6 + 0.5)/1e6. Non-finite inputs pass
+    * through unchanged: Spark's FLOOR(double) returns BIGINT (NaN → 0,
+    * ±Inf → ±Long.Max scaled) while DuckDB's stays a double and
+    * propagates — without the guard a 0/0 score would dump 0.0 on the
+    * Spark side vs NaN on the oracle side. The scalar twin needs no
+    * guard (math.floor propagates NaN/Inf already). */
   def q6(c: Column): Column =
-    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    when(isnan(c) || abs(c) === Double.PositiveInfinity, c)
+      .otherwise(floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
 
   /** Scalar twin — the identical IEEE ops for driver-computed scores
     * (MIRA, tuned costs, seed-recommendation gravitation). */

@@ -109,7 +109,7 @@ object KgPipeline {
     * PATH-TYPE vocabulary is unbounded at web scale, so the join is
     * left to AQE (see TermsStage.rankTerms). */
   def pathRank(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, log, round}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, log}
     def types(mod: Long, res: Long) =
       DepPathsStage.pathTypesTable(DepPathsStage.instances(
         Preprocess.annotate(corpusSlice(spark, sfDir, mod, res))))

@@ -40,6 +40,19 @@ class QuantizeSpec extends SparkSpec {
     })
   }
 
+  test("non-finite inputs propagate in BOTH forms (Spark FLOOR is " +
+       "BIGINT-typed and would otherwise map NaN to 0)") {
+    val specials = Seq(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity)
+    val viaColumn = specials.toDF("x")
+      .select(Quantize.q6(col("x")).as("q")).as[Double].collect()
+    assert(viaColumn(0).isNaN && specials.map(Quantize.q6)(0).isNaN)
+    assert(viaColumn(1) === Double.PositiveInfinity)
+    assert(viaColumn(2) === Double.NegativeInfinity)
+    assert(Quantize.q6(Double.PositiveInfinity) === Double.PositiveInfinity)
+    assert(Quantize.q6(Double.NegativeInfinity) === Double.NegativeInfinity)
+  }
+
   test("exact half-ties quantize up (toward +inf), both signs") {
     // 2.5e-6·1e6 = 2.5 exactly (binary-representable) → floor(3.0)
     assert(Quantize.q6(2.5e-6) === 3e-6)

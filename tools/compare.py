@@ -7,6 +7,10 @@ import sys, json, glob, os
 import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+# optional 3rd arg: comma-separated query subset — compare only those
+# (for targeted re-verification when the full oracle side, e.g. the
+# sf1.0 shingle self-joins, is too slow to re-run whole)
+subset = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
@@ -15,6 +19,8 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 ok = True
 for q, sql in sorted(oracle.items()):
+    if subset is not None and q not in subset:
+        continue
     spark_dir = f"{outdir}/{q}"
     if not os.path.isdir(spark_dir):
         print(f"{q}: MISSING spark output"); ok = False; continue

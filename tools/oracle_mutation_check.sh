@@ -73,19 +73,30 @@ run_case() { # name file sed_expr queries
 
 if [ "$SELFTEST" -eq 1 ]; then
   st_fails=0
+  # each case must be rejected BY THE SPECIFIC GUARD under test —
+  # asserting only the exit code would pass vacuously if e.g. the
+  # nocompile case's sed pattern drifted and the vacuous-sed guard
+  # fired instead of the build-failure guard
+  expect_guard() { # name file sed_expr queries expected_result_grep
+    local want="$5" out
+    out=$(run_case "$1" "$2" "$3" "$4")
+    echo "$out"
+    if ! echo "$out" | grep -q "$want"; then
+      echo "SELFTEST FAIL: $1 did not trip the '$want' guard"
+      st_fails=1
+    fi
+  }
   # guard 1: a sed pattern matching nothing must be rejected, not
   # silently treated as a mutation
-  if run_case selftest_vacuous src/main/scala/graft/nlp/Nlp.scala \
-       's/THIS_PATTERN_MATCHES_NOTHING_9f3a/x/' kg_value_triples; then
-    echo "SELFTEST FAIL: vacuous sed was accepted as evidence"; st_fails=1
-  fi
+  expect_guard selftest_vacuous src/main/scala/graft/nlp/Nlp.scala \
+    's/THIS_PATTERN_MATCHES_NOTHING_9f3a/x/' kg_value_triples \
+    "SED MATCHED NOTHING"
   # guard 2: a mutant that cannot compile must be rejected, not
   # mis-read as a red gate
-  if run_case selftest_nocompile src/main/scala/graft/nlp/Nlp.scala \
-       's/"million" -> 10000L/"million" -> THIS_DOES_NOT_COMPILE(/' \
-       kg_value_triples; then
-    echo "SELFTEST FAIL: non-compiling mutant was accepted as evidence"; st_fails=1
-  fi
+  expect_guard selftest_nocompile src/main/scala/graft/nlp/Nlp.scala \
+    's/"million" -> 10000L/"million" -> THIS_DOES_NOT_COMPILE(/' \
+    kg_value_triples \
+    "MUTATED BUILD/RUN FAILED"
   if [ "$st_fails" -eq 0 ]; then
     echo "SELFTEST OK — both non-evidence guards reject as required"
   fi
