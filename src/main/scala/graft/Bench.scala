@@ -55,6 +55,15 @@ object Bench {
     only.foreach(_.diff(SparkEntry.queries.keySet).foreach(unknown =>
       System.err.println(s"[bench] ignoring unknown SPARK_GRAFT_ONLY " +
         s"query: $unknown")))
+    // and a filter matching NOTHING must fail the run, not just warn:
+    // the stderr warning can fall outside the driver's stdout-tail
+    // capture, leaving an empty line that reads as a passing ultra-fast
+    // bench
+    only.filter(o => !SparkEntry.queries.keySet.exists(o)).foreach { _ =>
+      println(s"""{"metric":"total","value":0.000,"unit":"sec","queries":{},"err_count":1,"errors":{"_config":${jstr("SPARK_GRAFT_ONLY matched no queries")}},"reps":$reps,"rep_totals":[],"sf":${jstr(sfDir)}}""")
+      spark.stop()
+      sys.exit(1)
+    }
     def oneRep(rep: Int): scala.collection.immutable.ListMap[String, Double] = {
       // multi-rep runs tag failures with the rep index, so an error
       // surfacing only in rep 2+ must not read as a rep-1 failure

@@ -19,15 +19,21 @@ import org.apache.spark.sql.functions.{abs, floor, isnan, lit, when}
   * identical by construction. Scalar twin for driver-side code below.
   */
 object Quantize {
-  /** Column form: floor(x·1e6 + 0.5)/1e6. Non-finite inputs pass
-    * through unchanged: Spark's FLOOR(double) returns BIGINT (NaN → 0,
-    * ±Inf → ±Long.Max scaled) while DuckDB's stays a double and
-    * propagates — without the guard a 0/0 score would dump 0.0 on the
-    * Spark side vs NaN on the oracle side. The scalar twin needs no
-    * guard (math.floor propagates NaN/Inf already). */
-  def q6(c: Column): Column =
-    when(isnan(c) || abs(c) === Double.PositiveInfinity, c)
-      .otherwise(floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+  /** Column form: floor(x·1e6 + 0.5)/1e6, with the floor emulated in
+    * DOUBLE space. Spark's FLOOR(double) is BIGINT-typed (NaN → 0,
+    * saturates at ±Long.Max) while the scalar twin and DuckDB floor a
+    * double — without the guard a 0/0 score would dump 0.0 on the
+    * Spark side vs NaN on the oracle side, and |x·1e6| beyond Long
+    * range would saturate instead of passing through. Any double with
+    * |v| ≥ 2^53 is already integral, so floor(v) = v there; that
+    * branch also passes ±Inf through (NaN compares false everywhere,
+    * so it is tested explicitly). Result: bit-identical to the scalar
+    * twin for every input, finite or not. */
+  def q6(c: Column): Column = {
+    val v = c * lit(1000000.0) + lit(0.5)
+    when(isnan(v) || abs(v) >= lit(9007199254740992.0), v)
+      .otherwise(floor(v)) / lit(1000000.0)
+  }
 
   /** Scalar twin — the identical IEEE ops for driver-computed scores
     * (MIRA, tuned costs, seed-recommendation gravitation). */

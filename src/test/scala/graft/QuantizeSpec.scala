@@ -29,8 +29,17 @@ class QuantizeSpec extends SparkSpec {
     Gen.chooseNum(-1e6, 1e6),
     Gen.chooseNum(-100.0, 100.0).map(x => Quantize.q6(x) + 5e-7))
 
+  // the column/scalar parity contract additionally covers magnitudes a
+  // score never reaches, crossing BOTH divergence thresholds of a naive
+  // BIGINT floor: 2^53/1e6 (doubles lose fractional bits) and
+  // Long.Max/1e6 (a BIGINT floor would saturate). Idempotence and the
+  // grid-step bound are score-band properties and stay on scoreGen —
+  // above 2^53 the ×1e6 round-trip is not exact for ANY floor.
+  private val parityGen: Gen[Double] =
+    Gen.oneOf(scoreGen, Gen.chooseNum(-1e19, 1e19))
+
   test("column form and scalar form agree bit-for-bit") {
-    passes(Prop.forAll(Gen.listOfN(64, scoreGen)) { xs =>
+    passes(Prop.forAll(Gen.listOfN(64, parityGen)) { xs =>
       val viaColumn = xs.toDF("x")
         .select(Quantize.q6(col("x")).as("q")).as[Double].collect()
       viaColumn.zip(xs.map(Quantize.q6)).forall { case (a, b) =>
@@ -38,6 +47,21 @@ class QuantizeSpec extends SparkSpec {
           java.lang.Double.doubleToRawLongBits(b)
       }
     })
+  }
+
+  test("parity holds at the BIGINT-floor divergence boundaries") {
+    // 2^53/1e6, Long.Max/1e6 and beyond — a naive FLOOR(double) maps
+    // 1e13 to Long.Max/1e6 ≈ 9.22e12 instead of 1e13
+    val edges = Seq(9007199254740992.0 / 1e6, 9007199254740993.0 / 1e6,
+      9.223372036854776e12, 1e13, -1e13, 1e18, Double.MaxValue,
+      -Double.MaxValue)
+    val viaColumn = edges.toDF("x")
+      .select(Quantize.q6(col("x")).as("q")).as[Double].collect()
+    viaColumn.zip(edges.map(Quantize.q6)).foreach { case (a, b) =>
+      assert(java.lang.Double.doubleToRawLongBits(a) ===
+        java.lang.Double.doubleToRawLongBits(b), s"column $a vs scalar $b")
+    }
+    assert(Quantize.q6(1e13) === 1e13)
   }
 
   test("non-finite inputs propagate in BOTH forms (Spark FLOOR is " +

@@ -10,13 +10,20 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 # optional 3rd arg: comma-separated query subset — compare only those
 # (for targeted re-verification when the full oracle side, e.g. the
 # sf1.0 shingle self-joins, is too slow to re-run whole)
-subset = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+subset = None
+if len(sys.argv) > 3:
+    subset = {q.strip() for q in sys.argv[3].split(",") if q.strip()}
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# a misspelled subset name must fail loudly, not skip silently — a
+# compare that matched nothing would print nothing and exit 0 (green)
+if subset is not None and (not subset or subset - set(oracle)):
+    sys.exit(f"subset names not in oracle_sql.json: "
+             f"{sorted(subset - set(oracle)) or '(empty subset)'}")
 ok = True
 for q, sql in sorted(oracle.items()):
     if subset is not None and q not in subset:

@@ -48,8 +48,9 @@ run_case() { # name file sed_expr queries
     git checkout -- "$file"
     return 1
   fi
-  # every TARGET gate must actually have produced output (compare.py
-  # prints MISSING for all non-subset queries too, so filter by target)
+  # every TARGET gate must actually have produced output — a missing
+  # dir is non-evidence (the mutant run silently skipped the query),
+  # distinct from a red compare
   local q
   for q in ${queries//,/ }; do
     if [ ! -d "$out/$q" ]; then
@@ -59,7 +60,7 @@ run_case() { # name file sed_expr queries
     fi
   done
   local cmp
-  cmp=$(python3 tools/compare.py "$SF" "$out" 2>&1 | grep -v MISSING)
+  cmp=$(python3 tools/compare.py "$SF" "$out" "$queries" 2>&1)
   echo "$cmp"
   git checkout -- "$file"
   if echo "$cmp" | grep -q "OK rows"; then
@@ -78,10 +79,17 @@ if [ "$SELFTEST" -eq 1 ]; then
   # nocompile case's sed pattern drifted and the vacuous-sed guard
   # fired instead of the build-failure guard
   expect_guard() { # name file sed_expr queries expected_result_grep
-    local want="$5" out
-    out=$(run_case "$1" "$2" "$3" "$4")
+    local want="$5" out rc
+    out=$(run_case "$1" "$2" "$3" "$4"); rc=$?
     echo "$out"
-    if ! echo "$out" | grep -q "$want"; then
+    # BOTH halves of the rejection contract: run_case must return
+    # non-zero (so a real run would not count the case as evidence) AND
+    # the named guard must be the one that fired (so guards don't mask
+    # each other when a sed pattern drifts)
+    if [ "$rc" -eq 0 ]; then
+      echo "SELFTEST FAIL: $1 was accepted as evidence (rc=0)"
+      st_fails=1
+    elif ! echo "$out" | grep -q "$want"; then
       echo "SELFTEST FAIL: $1 did not trip the '$want' guard"
       st_fails=1
     fi
