@@ -50,20 +50,19 @@ object Bench {
     // full set — the driver never sets this
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    // a misspelled/stale name would otherwise yield an empty,
-    // green-looking artifact (value 0.0, err_count 0)
-    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(unknown =>
-      System.err.println(s"[bench] ignoring unknown SPARK_GRAFT_ONLY " +
-        s"query: $unknown")))
-    // and a filter matching NOTHING must fail the run, not just warn:
-    // the stderr warning can fall outside the driver's stdout-tail
-    // capture, leaving an empty line that reads as a passing ultra-fast
-    // bench
-    only.filter(o => !SparkEntry.queries.keySet.exists(o)).foreach { _ =>
-      println(s"""{"metric":"total","value":0.000,"unit":"sec","queries":{},"err_count":1,"errors":{"_config":${jstr("SPARK_GRAFT_ONLY matched no queries")}},"reps":$reps,"rep_totals":[],"sf":${jstr(sfDir)}}""")
-      spark.stop()
-      sys.exit(1)
-    }
+    // ANY unknown name fails the run on the JSON line itself (exit 1),
+    // never a stderr-only warning: a partially-matching list (one stale
+    // or misspelled name among valid ones) would otherwise produce a
+    // green artifact silently missing the stale query — and the stderr
+    // warning can fall outside the driver's stdout-tail capture, so a
+    // targeted re-verification would read as passing without ever
+    // having run
+    only.map(_.diff(SparkEntry.queries.keySet)).filter(_.nonEmpty)
+      .foreach { unknown =>
+        println(s"""{"metric":"total","value":0.000,"unit":"sec","queries":{},"err_count":1,"errors":{"_config":${jstr(s"unknown SPARK_GRAFT_ONLY queries: ${unknown.toSeq.sorted.mkString(",")}")}},"reps":$reps,"rep_totals":[],"sf":${jstr(sfDir)}}""")
+        spark.stop()
+        sys.exit(1)
+      }
     def oneRep(rep: Int): scala.collection.immutable.ListMap[String, Double] = {
       // multi-rep runs tag failures with the rep index, so an error
       // surfacing only in rep 2+ must not read as a rep-1 failure

@@ -183,8 +183,15 @@ object Dedup {
     * raw text. MD5 is ~10× slower than murmur per feature — this hash
     * exists for gate queries, not the shipped default (see
     * [[simhashNearDup]]'s `parityHash` flag). */
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue() =
+      java.security.MessageDigest.getInstance("MD5")
+  }
   val parityHash64: String => Long = { t =>
-    val d = java.security.MessageDigest.getInstance("MD5")
+    // thread-local digest: getInstance is a JCA provider lookup +
+    // allocation, too heavy for the hottest per-gram loop of the
+    // signature UDF; digest() leaves the instance reset for reuse
+    val d = md5Digest.get()
       .digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var v = 0L
     var i = 15

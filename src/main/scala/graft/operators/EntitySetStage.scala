@@ -157,8 +157,15 @@ object EntitySetStage {
       if (of.isEmpty) Seq.empty[(String, Double)].toDF("context", out)
       else index.filter(col("term").isin(of.toSeq: _*))
         .groupBy(col("context")).agg(sum(col("pmi")).as(out))
+    // persist: consumed twice per action (the norm aggregate and the
+    // scoring join) and Catalyst does not reuse the subtree across
+    // consumers — without it the two centroid groupBys over the index
+    // plus their full-outer join run once per consumer. Small by
+    // construction (one row per context of the handful of seed terms);
+    // released by the caller's clearCache like every per-query cache.
     val cenDf = centroidDf(seeds, "cen_pos")
       .join(centroidDf(negSeeds, "cen_neg"), Seq("context"), "full_outer")
+      .persist()
     val normDf = cenDf.agg(
       coalesce(sqrt(sum(pow(coalesce(col("cen_pos"), lit(0.0)), 2))),
         lit(0.0)).as("norm_p"),

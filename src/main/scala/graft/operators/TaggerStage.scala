@@ -208,29 +208,13 @@ object TaggerStage {
     }
   }
 
-  /** Mention-level decode view for the reference-faithful scorer
-    * (A15/J9): each decoded candidate as (doc_id, pred, a1_end, a2_end)
-    * — head END char offsets in DECODED argument order (swapped when
-    * the matched rule is inverted), the alignment key of the
-    * reference's APF relation mentions
-    * (TypedRelationExtractorScorer.java:53-80). Same narrow
-    * broadcast-rule flatMap as [[triples]] — no shuffle. */
-  def mentionDecodes(candidates: Dataset[PathInstance],
-                     rules: Seq[RelationRule],
-                     wordSim: (String, String) => Double = exactSim)
-      : DataFrame = {
-    val spark = candidates.sparkSession
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(ruleState(rules))
-    candidates.flatMap { c =>
-      decode(c, bc.value, wordSim).map { case (rel, invert) =>
-        if (invert) (c.doc_id, rel, c.end2, c.end1)
-        else (c.doc_id, rel, c.end1, c.end2)
-      }
-    }.toDF("doc_id", "pred", "a1_end", "a2_end")
-  }
-
-  /** Both scorer sides decoded in ONE narrow pass: each candidate runs
+  /** Both scorer sides decoded in ONE narrow pass — the mention-level
+    * decode view for the reference-faithful scorer (A15/J9). Each
+    * decoded candidate emits (side, doc_id, pred, a1_end, a2_end):
+    * head END char offsets in DECODED argument order (swapped when the
+    * matched rule is inverted), the alignment key of the reference's
+    * APF relation mentions (TypedRelationExtractorScorer.java:53-80).
+    * Each candidate runs
     * against the key AND response rule states and emits side-tagged
     * mention rows ("k"/"r"). Halves the candidate passes of the P/R
     * scorer — the per-candidate soft-match DP is the dominant decode

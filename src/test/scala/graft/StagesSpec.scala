@@ -144,10 +144,13 @@ class StagesSpec extends SparkSpec {
       a.keysIterator.map(k => a(k) * b.getOrElse(k, 0.0)).sum
     def norm(a: Map[String, Double]) =
       math.sqrt(a.valuesIterator.map(v => v * v).sum)
-    val expected = BigDecimal(
-        dot(t, posC) / norm(t) / norm(posC) -
-          0.5 * (dot(t, negC) / norm(t) / norm(negC)))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // quantize through the PRODUCTION quantizer (not BigDecimal HALF_UP,
+    // which this pin replaced): the test must fail if expand() ever
+    // reverts to decimal rounding, and must not fail spuriously when a
+    // future fixture lands on a 5e-7 tie where the two schemes diverge
+    val expected = graft.functions.Quantize.q6(
+      dot(t, posC) / norm(t) / norm(posC) -
+        0.5 * (dot(t, negC) / norm(t) / norm(negC)))
     assert(got("t") === expected)
     // sn is not a pos seed, so it stays in the ranking; its score is the
     // same formula (here strongly negative — it IS the negative centroid)

@@ -59,16 +59,27 @@ run_case() { # name file sed_expr queries
       return 1
     fi
   done
-  local cmp
-  cmp=$(python3 tools/compare.py "$SF" "$out" "$queries" 2>&1)
+  local cmp cmp_rc
+  # COMPARE_TOOL override exists only for the selftest's infra-failure
+  # guard below; real runs always use tools/compare.py
+  cmp=$(python3 "${COMPARE_TOOL:-tools/compare.py}" "$SF" "$out" "$queries" 2>&1)
+  cmp_rc=$?
   echo "$cmp"
   git checkout -- "$file"
-  if echo "$cmp" | grep -q "OK rows"; then
+  # "gate red" evidence requires a GENUINE compare verdict, not merely
+  # the absence of "OK rows": a compare.py infrastructure failure (a
+  # traceback, an unreadable oracle_sql.json, a duckdb error) also
+  # prints no OK line, and counting it as "caught" would be the same
+  # false-evidence class the build/sed/output guards above reject
+  if echo "$cmp" | grep -Eq "HASH MISMATCH|SCHEMA MISMATCH|: ROWS |MISSING spark output"; then
+    echo "RESULT: $name caught (gate red as required)"
+    return 0
+  elif [ $cmp_rc -eq 0 ] && echo "$cmp" | grep -q "OK rows"; then
     echo "RESULT: $name ORACLE DID NOT CATCH THE MUTATION (echo risk)"
     return 1
   else
-    echo "RESULT: $name caught (gate red as required)"
-    return 0
+    echo "RESULT: $name COMPARE INFRA FAILURE (rc=$cmp_rc, no verdict line) — not evidence"
+    return 1
   fi
 }
 
@@ -105,6 +116,25 @@ if [ "$SELFTEST" -eq 1 ]; then
     's/"million" -> 10000L/"million" -> THIS_DOES_NOT_COMPILE(/' \
     kg_value_triples \
     "MUTATED BUILD/RUN FAILED"
+  # guard 3: a compare.py INFRASTRUCTURE failure (traceback, unreadable
+  # oracle_sql.json, duckdb error — output with no verdict line) must be
+  # rejected, not mis-read as "gate red". Uses a real mutation so the
+  # run reaches the compare step, with the compare tool swapped for one
+  # that dies like a crashing python process.
+  cat > /tmp/graft_compare_crash.py <<'EOF'
+import sys
+print("Traceback (most recent call last):", file=sys.stderr)
+print("RuntimeError: simulated compare infrastructure crash", file=sys.stderr)
+sys.exit(1)
+EOF
+  # explicit set/unset: `VAR=x shell_function` scoping differs between
+  # bash modes — do not rely on it
+  COMPARE_TOOL=/tmp/graft_compare_crash.py
+  expect_guard selftest_comparecrash src/main/scala/graft/nlp/Nlp.scala \
+    's/"million" -> 10000L/"million" -> 1000000L/' \
+    kg_value_triples \
+    "COMPARE INFRA FAILURE"
+  unset COMPARE_TOOL
   if [ "$st_fails" -eq 0 ]; then
     echo "SELFTEST OK — both non-evidence guards reject as required"
   fi
