@@ -136,7 +136,7 @@ EOF
     "COMPARE INFRA FAILURE"
   unset COMPARE_TOOL
   if [ "$st_fails" -eq 0 ]; then
-    echo "SELFTEST OK — both non-evidence guards reject as required"
+    echo "SELFTEST OK — all three non-evidence guards reject as required"
   fi
   exit $st_fails
 fi
