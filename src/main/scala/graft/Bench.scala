@@ -49,17 +49,24 @@ object Bench {
     // of queries with the same warmup/clearCache discipline as the
     // full set — the driver never sets this
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    // ANY unknown name fails the run on the JSON line itself (exit 1),
-    // never a stderr-only warning: a partially-matching list (one stale
-    // or misspelled name among valid ones) would otherwise produce a
-    // green artifact silently missing the stale query — and the stderr
-    // warning can fall outside the driver's stdout-tail capture, so a
-    // targeted re-verification would read as passing without ever
-    // having run
-    only.map(_.diff(SparkEntry.queries.keySet)).filter(_.nonEmpty)
-      .foreach { unknown =>
-        println(s"""{"metric":"total","value":0.000,"unit":"sec","queries":{},"err_count":1,"errors":{"_config":${jstr(s"unknown SPARK_GRAFT_ONLY queries: ${unknown.toSeq.sorted.mkString(",")}")}},"reps":$reps,"rep_totals":[],"sf":${jstr(sfDir)}}""")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // ANY unknown name — or a filter that names nothing at all (e.g.
+    // SPARK_GRAFT_ONLY="," splits to the empty set) — fails the run on
+    // the JSON line itself (exit 1), never a stderr-only warning: a
+    // partially-matching list would otherwise produce a green artifact
+    // silently missing the misspelled query, an empty one a zero-query
+    // "impossibly fast pass" — and stderr can fall outside the driver's
+    // stdout-tail capture, so a targeted re-verification would read as
+    // passing without ever having run
+    only.map(_.diff(SparkEntry.queries.keySet))
+      .collect {
+        case u if u.nonEmpty =>
+          s"unknown SPARK_GRAFT_ONLY queries: ${u.toSeq.sorted.mkString(",")}"
+        case _ if only.exists(_.isEmpty) =>
+          "SPARK_GRAFT_ONLY matched no queries"
+      }
+      .foreach { msg =>
+        println(s"""{"metric":"total","value":0.000,"unit":"sec","queries":{},"err_count":1,"errors":{"_config":${jstr(msg)}},"reps":$reps,"rep_totals":[],"sf":${jstr(sfDir)}}""")
         spark.stop()
         sys.exit(1)
       }

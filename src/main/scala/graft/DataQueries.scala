@@ -28,8 +28,18 @@ object DataQueries {
     * while `col=value` partition subdirectories keep their names and
     * relative structure, so partition-column discovery still works.
     * Everything registers deleteOnExit so repeated Bench/Verify runs
-    * don't accumulate copies in /tmp. */
-  private def stageStreamInput(d: String, prefix: String): java.nio.file.Path = {
+    * don't accumulate copies in /tmp — and the staged copy is CACHED
+    * per (source dir, prefix) for the JVM's lifetime: the input is
+    * read-only for the stream, so a 3-rep bench must not hold six
+    * simultaneous full copies of events.parquet on /tmp (at a larger
+    * scale factor those copies, not the queries, would exhaust the
+    * disk mid-run). */
+  private val stagedInputs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.nio.file.Path]()
+  private def stageStreamInput(d: String, prefix: String): java.nio.file.Path =
+    stagedInputs.computeIfAbsent((d, prefix),
+      (k: (String, String)) => doStage(k._1, k._2))
+  private def doStage(d: String, prefix: String): java.nio.file.Path = {
     import java.nio.file.{Files, Path, Paths}
     val src = Paths.get(s"$d/events.parquet")
     val dir = Files.createTempDirectory(prefix)

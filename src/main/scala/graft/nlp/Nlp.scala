@@ -364,12 +364,20 @@ object Nlp {
       if (ok(i)) {
         var e = i
         while (e + 1 < nt && ok(e + 1)) e += 1
-        // suffixes must end at (and include) an NN head; build each
-        // suffix by prepending to the previous (no slice/map per suffix)
-        if (tokens(e).pos == "NN") {
-          var term = lwOf(e)
+        // suffixes must end at (and include) the NN head — the LAST NN
+        // of the run, not necessarily the run's last token: the
+        // reference's noun group ends at its noun head
+        // (TermCounter.java:215-252 walks backward from the group
+        // head), so a trailing adjective after the head ("the budget,
+        // annual ...") sits OUTSIDE the group and must not suppress the
+        // head's suffixes. Build each suffix by prepending to the
+        // previous (no slice/map per suffix).
+        var h = e
+        while (h >= i && tokens(h).pos != "NN") h -= 1
+        if (h >= i) {
+          var term = lwOf(h)
           out += term
-          var s = e - 1
+          var s = h - 1
           while (s >= i) {
             term = lwOf(s) + " " + term
             out += term
@@ -398,12 +406,20 @@ object Nlp {
   /** F9 (EntitySetExpander.java:86-112): exclude seed candidates that
     * are derivational nouns (-tion, -ment), URLs/emails, capitalized, or
     * already in the set / previously suggested. */
+  /** Scalar twin of `EntitySetStage.candidateAllowed` (the production
+    * column predicate) plus the in-set exclusion the expander applies
+    * separately; EntityFiltersSpec cross-pins the two encodings so they
+    * cannot drift. The capitalization test is `c.toLower == c` — the
+    * exact scalar meaning of the column's
+    * `substring(t,1,1) === lower(substring(t,1,1))` (for a titlecase
+    * letter `isUpper` is false but `toLower` still changes it, so
+    * `!isUpper` would silently diverge from the column form). */
   def seedCandidateAllowed(term: String, inSet: Set[String],
                            suggested: Set[String]): Boolean =
     !term.endsWith("tion") && !term.endsWith("ment") &&
       !term.startsWith("www.") && !term.contains("@") &&
       !term.startsWith("http") &&
-      term.headOption.exists(c => !c.isUpper) &&
+      term.headOption.forall(c => c.toLower == c) &&
       !inSet(term) && !suggested(term)
 
   /** F5 (DepPaths.java:272-280): bucket Penn tags → {nnp, nn, vb, o}

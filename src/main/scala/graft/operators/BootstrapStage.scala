@@ -35,8 +35,14 @@ object BootstrapStage {
     // shared join) — keeps the upstream mining chain from running once
     // per consumer when the caller passes an unpersisted instance
     // table. Released by the caller's clearCache.
+    // struct key, not a string concat: argument surfaces are arbitrary
+    // text, so a separator-based key ("a:::b") would collide distinct
+    // pairs whose surfaces contain the separator, silently inflating
+    // the shared/total distinct counts. Struct equality is exact and
+    // stays inside codegen; the oracle's concat keys remain comparable
+    // because only the resulting COUNTS cross engines.
     val df = inst.toDF().select(col("path"), col("type1"), col("type2"),
-      concat_ws(":::", col("arg1"), col("arg2")).as("arg_pair"))
+      struct(col("arg1"), col("arg2")).as("arg_pair"))
       .persist()
     val seedPairs = df.filter(col("path").isin(seedPaths.toSeq: _*))
       .select(col("arg_pair")).distinct()

@@ -33,11 +33,15 @@ object EventBootstrapStage {
     * key, trigger, and (nsubj, dobj) value pair. */
   def eventPairs(ev: Dataset[EventRow]): DataFrame = {
     import ev.sparkSession.implicits._
+    // tuple key, not a separator concat: argument values are arbitrary
+    // text, so "a:::b" would collide distinct pairs whose surfaces
+    // contain the separator (same reasoning as BootstrapStage's struct
+    // key); only distinct COUNTS of the pairs cross to the oracle
     ev.flatMap { e =>
       for {
         s <- e.args.find(_.role == "nsubj")
         o <- e.args.find(_.role == "dobj")
-      } yield (e.key, e.trigger, s.value + ":::" + o.value,
+      } yield (e.key, e.trigger, (s.value, o.value),
         s.etype, o.etype)
     }.toDF("key", "trigger", "arg_pair", "type1", "type2")
   }

@@ -55,8 +55,13 @@ object IncrementalPaths {
     val dirtyIds = tokDirtyIds.union(newIds).distinct()
     val dirty = ann.toDF().join(dirtyIds, Seq("doc_id"), "left_semi")
       .as[AnnotatedDoc]
+    // no broadcast hint: the dirty list is small on a steady-state
+    // incremental run, but it is UNBOUNDED on a first run or a large
+    // ingest (newIds ≈ the whole corpus) — a forced broadcast there
+    // OOMs instead of degrading to a shuffled anti-join. AQE picks the
+    // broadcast strategy itself whenever the list really is small.
     val kept = prior.toDF()
-      .join(broadcast(dirtyIds), Seq("doc_id"), "left_anti")
+      .join(dirtyIds, Seq("doc_id"), "left_anti")
       .join(ann.toDF().select(col("doc_id")), Seq("doc_id"), "left_semi")
     kept.unionByName(DepPathsStage.instances(dirty).toDF())
   }

@@ -30,6 +30,25 @@ class EntityFiltersSpec extends SparkSpec {
     assert(kept === Set("merger"))
   }
 
+  test("F9: the column predicate and the scalar twin cannot drift") {
+    // the two F9 encodings (EntitySetStage.candidateAllowed — the
+    // production column predicate — and Nlp.seedCandidateAllowed — the
+    // scalar spec twin) live in different files; pin them equal over a
+    // vocabulary that exercises every rule branch, including the
+    // capitalization edge the scalar form could silently get wrong
+    // (titlecase ǅ: isUpper is false but toLower still changes it)
+    val suggested = Set("verdict", "quota")
+    val vocab = Seq("election", "payment", "merger", "Treaty", "treaty",
+      "www.x.com", "http://y", "a@b.c", "verdict", "quota", "budget",
+      "ǅual", "épée", "Épée", "9ball", "-dash", "", "t")
+    val colKept = vocab.toDF("term")
+      .filter(EntitySetStage.candidateAllowed(suggested))
+      .select("term").as[String].collect().toSet
+    val scalarKept = vocab.filter(t =>
+      Nlp.seedCandidateAllowed(t, Set.empty, suggested)).toSet
+    assert(colKept === scalarKept)
+  }
+
   test("typeless indexer: longest-first multi-word match, head contexts, _-normalized") {
     val docs = Seq(
       graft.sources.Gen.doc(0L), // "The annual budget ..." (id%24==0)
