@@ -36,6 +36,27 @@ class NlpGoldenSpec extends AnyFunSuite {
     assert(got.map(_._2) === Vector(2, 25))
   }
 
+  test("X8 terms: suffixes anchor at the run's LAST NN head; trailing JJ " +
+      "sits outside the group (TermCounter.java:215-252)") {
+    import graft.core.Token
+    def tok(w: String, pos: String) = Token(w, 0, 0, pos)
+    // [annual(JJ), budget(NN)]: classic group — head + one suffix
+    assert(Nlp.extractTerms(Vector(tok("annual", "JJ"), tok("budget", "NN")),
+      Vector.empty) === Vector("budget", "annual budget"))
+    // [budget(NN), annual(JJ)]: the trailing adjective is OUTSIDE the
+    // noun group (the reference walks backward from the NOUN head), so
+    // the head's terms must still be emitted, not suppressed
+    assert(Nlp.extractTerms(Vector(tok("budget", "NN"), tok("annual", "JJ")),
+      Vector.empty) === Vector("budget"))
+    // [annual(JJ), budget(NN), green(JJ)]: suffixes end at the last NN
+    assert(Nlp.extractTerms(
+      Vector(tok("annual", "JJ"), tok("budget", "NN"), tok("green", "JJ")),
+      Vector.empty) === Vector("budget", "annual budget"))
+    // an all-JJ run has no noun head: nothing to emit
+    assert(Nlp.extractTerms(Vector(tok("annual", "JJ"), tok("green", "JJ")),
+      Vector.empty) === Vector.empty)
+  }
+
   test("'Fred Smith visited Chicago.' -> nsubj-1:visit:dobj (DepPathsTest.java:55)") {
     assert(pathOf("Fred Smith visited Chicago.").contains("nsubj-1:visit:dobj"))
   }
