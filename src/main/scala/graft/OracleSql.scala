@@ -10,19 +10,44 @@ import graft.sources.Gen
   */
 object OracleSql {
 
-  // SQL-escape the pool values: a future pool entry with an apostrophe
-  // ("Coeur d'Alene") must not break every generated oracle query
+  // SQL-escape ONE pool/fixture value. EVERY splice of a generator
+  // string into oracle SQL must route through this (or sqlList): a
+  // future pool entry with an apostrophe ("Coeur d'Alene") must not
+  // break any generated oracle query — not just the list-indexed ones.
+  private def sqlStr(x: String): String = s"'${x.replace("'", "''")}'"
   private def sqlList(xs: Seq[String]): String =
-    xs.map(x => s"'${x.replace("'", "''")}'").mkString("[", ",", "]")
+    xs.map(sqlStr).mkString("[", ",", "]")
 
   private val personsL = sqlList(Gen.persons)
   private val gpesL = sqlList(Gen.gpes)
   private val aliasesL = sqlList(Gen.gpeAliases)
   private val nounsL = sqlList(Gen.fillNouns)
   private val fverbsL = sqlList(Gen.fillVerbs)
+  private val fvLemmasL = sqlList(Gen.fillVerbLemmas)
+  private val adjsL = sqlList(Gen.fillAdjs)
   private val phrasesL = sqlList(Gen.predPhrases)
   private val predsL = sqlList(Gen.predNames)
   private val pathsL = sqlList(Gen.predPaths)
+
+  // Filler-sentence word-index arithmetic (Gen.fillerNoun1/fillerNoun2/
+  // fillerVerb/fillerAdj recomputed in SQL over the `d` documents
+  // alias) — ONE definition each; previously this arithmetic was
+  // re-typed inline in nine oracles, so a grammar change had to be
+  // hand-synchronized across all copies.
+  private val fn1Sql = s"($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1]"
+  private val fn2Sql = s"($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1]"
+  private val fvSurfSql = s"($fverbsL)[CAST((d.doc_id*23) % 4 AS INT)+1]"
+  private val fvLemmaSql = s"($fvLemmasL)[CAST((d.doc_id*23) % 4 AS INT)+1]"
+  private val fadjSql = s"($adjsL)[CAST((d.doc_id // 6) % 4 AS INT)+1]"
+  /** Full surface text of a filler sentence (Gen.fillerSentence). */
+  private val fillerTextSql =
+    s"'The ' || CASE WHEN d.doc_id % 6 = 0 THEN $fadjSql || ' ' ELSE '' END" +
+      s" || $fn1Sql || ' ' || $fvSurfSql || ' the ' || $fn2Sql || '.'"
+  /** Full surface text of a main sentence (Gen.mainSentence), over the
+    * bb columns (pi, ri, gi, al). */
+  private val mainTextSql =
+    s"($personsL)[pi+1] || ' ' || ($phrasesL)[ri] || ' ' || " +
+      s"CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END || '.'"
 
   /** Per-(doc, sentence) expansion with all derived indices; the base
     * CTE every kg oracle builds on. */
@@ -191,9 +216,7 @@ object OracleSql {
        |  SELECT ($personsL)[pi+1] AS arg1,
        |         ($pathsL)[ri] AS path,
        |         CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END AS arg2,
-       |         ($personsL)[pi+1] || ' ' || ($phrasesL)[ri] || ' ' ||
-       |         CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END
-       |         || '.' AS example
+       |         $mainTextSql AS example
        |  FROM bb
        |  UNION ALL SELECT $tourPerson, 'nsubj-1:tour:dobj', $tourGpe, $tourText
        |  FROM xx WHERE k7 = 1
@@ -282,7 +305,7 @@ object OracleSql {
     * derivation. */
   lazy val kgEventEmbScores: String = {
     val emb = graft.pipeline.KgPipeline.eventEmbedding.toSeq.sortBy(_._1)
-      .map { case (w, v) => s"('$w',${v(0)},${v(1)})" }.mkString(", ")
+      .map { case (w, v) => s"(${sqlStr(w)},${v(0)},${v(1)})" }.mkString(", ")
     s"""WITH ev0 AS ($kgEvents),
        |emb(w, ex, ey) AS (VALUES $emb),
        |cen AS (SELECT sum(ex) AS cx, sum(ey) AS cy FROM emb
@@ -315,9 +338,7 @@ object OracleSql {
       """(CASE WHEN (id + 0) % 4 = 0 AND s > 0 THEN 1 ELSE 0 END +
         | CASE WHEN (id + 1) % 4 = 0 AND s > 1 THEN 1 ELSE 0 END)""".stripMargin
     val filler = "CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END"
-    val sentText =
-      s"""($personsL)[pi+1] || ' ' || ($phrasesL)[ri] || ' ' ||
-         |CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END || '.'""".stripMargin
+    val sentText = mainTextSql
     val totalMedia =
       """(CASE WHEN (id + 0) % 4 = 0 THEN 1 ELSE 0 END +
         | CASE WHEN id % 3 >= 1 AND (id + 1) % 4 = 0 THEN 1 ELSE 0 END +
@@ -325,9 +346,7 @@ object OracleSql {
     s"""$baseCte$xtraCte
        |SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, 0 AS ord,
        |       'text' AS kind,
-       |       'The ' || CASE WHEN d.doc_id % 6 = 0 THEN ($adjsL)[CAST((d.doc_id // 6) % 4 AS INT)+1] || ' ' ELSE '' END || ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] || ' ' ||
-       |       ($fverbsL)[CAST((d.doc_id*23) % 4 AS INT)+1] || ' the ' ||
-       |       ($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1] || '.' AS text,
+       |       $fillerTextSql AS text,
        |       '' AS media_ref
        |FROM documents d WHERE d.doc_id % 2 = 0
        |UNION ALL
@@ -348,16 +367,14 @@ object OracleSql {
        |FROM xx""".stripMargin
   }
 
-  private val fvLemmasL = sqlList(Gen.fillVerbLemmas)
-
   /** Per-filler-doc noun/verb derivations, the base for term/event/PMI
     * oracles. */
   private val fillerCte: String =
     s"""WITH f AS (
        |  SELECT d.doc_id AS id,
-       |         ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] AS n1,
-       |         ($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1] AS n2,
-       |         ($fvLemmasL)[CAST((d.doc_id*23) % 4 AS INT)+1] AS fvl
+       |         $fn1Sql AS n1,
+       |         $fn2Sql AS n2,
+       |         $fvLemmaSql AS fvl
        |  FROM documents d WHERE d.doc_id % 2 = 0
        |)""".stripMargin
 
@@ -388,7 +405,7 @@ object OracleSql {
   val kgTypelessPairs: String =
     s"""WITH d2 AS (
        |  SELECT d.doc_id AS id,
-       |         ($fvLemmasL)[CAST((d.doc_id*23) % 4 AS INT)+1] AS fvl
+       |         $fvLemmaSql AS fvl
        |  FROM documents d WHERE d.doc_id % 2 = 0
        |)
        |SELECT term, context, count(*) AS cnt FROM (
@@ -429,14 +446,20 @@ object OracleSql {
   private val plainCells =
     "cells AS (SELECT term, context, count(*) AS cnt FROM ev GROUP BY 1,2)"
 
-  /** A12 centroid-cosine expansion over the shared idx chain; trailing
-    * filters carry the F9 exclusions. */
-  private def expansionSql(cellsSql: String, extraFilters: String): String = {
-    val seeds = s"'${Gen.fillNouns(0)}','${Gen.fillNouns(1)}'"
-    s"""$fillerCte,
-       |${pmiIdxCtes(cellsSql)},
-       |cen AS (SELECT context, sum(pmi) AS w FROM idx
-       |        WHERE term IN ($seeds) GROUP BY 1),
+  /** The expansion seed list — ONE definition (escaped) mirroring
+    * KgPipeline's `Set(Gen.fillNouns(0), Gen.fillNouns(1))`; previously
+    * four oracles re-derived this string independently, so a seed-set
+    * change had to be hand-synchronized. */
+  private val seedsSql =
+    Seq(Gen.fillNouns(0), Gen.fillNouns(1)).map(sqlStr).mkString(",")
+
+  /** Positive-centroid chain (cen / np / pt) over the idx CTE — shared
+    * verbatim by the expansion and negative-seed oracles, so a
+    * centroid/cosine tweak cannot silently reach one and not the
+    * other. */
+  private val posCenCtes =
+    s"""cen AS (SELECT context, sum(pmi) AS w FROM idx
+       |        WHERE term IN ($seedsSql) GROUP BY 1),
        |np AS (SELECT sqrt(sum(w*w)) AS norm_p FROM cen),
        |pt AS (
        |  SELECT i.term,
@@ -444,12 +467,18 @@ object OracleSql {
        |         sqrt(sum(i.pmi * i.pmi)) AS norm
        |  FROM idx i LEFT JOIN cen ON i.context = cen.context
        |  GROUP BY 1
-       |)
+       |)""".stripMargin
+
+  /** A12 centroid-cosine expansion over the shared idx chain; trailing
+    * filters carry the F9 exclusions. */
+  private def expansionSql(cellsSql: String, extraFilters: String): String =
+    s"""$fillerCte,
+       |${pmiIdxCtes(cellsSql)},
+       |$posCenCtes
        |SELECT pt.term,
        |       floor(pt.dot_pos / pt.norm / np.norm_p * 1e6 + 0.5) / 1e6
        |         AS score
-       |FROM pt, np WHERE pt.term NOT IN ($seeds)$extraFilters""".stripMargin
-  }
+       |FROM pt, np WHERE pt.term NOT IN ($seedsSql)$extraFilters""".stripMargin
 
   val kgEntityIndex: String =
     s"""$fillerCte,
@@ -468,18 +497,10 @@ object OracleSql {
     * POSITIVE seeds are filtered from the output), mirroring
     * EntitySetStage.expand. */
   lazy val kgEntityExpansionNeg: String = {
-    val seeds = s"'${Gen.fillNouns(0)}','${Gen.fillNouns(1)}'"
+    val seeds = seedsSql
     s"""$fillerCte,
        |${pmiIdxCtes(plainCells)},
-       |cen AS (SELECT context, sum(pmi) AS w FROM idx
-       |        WHERE term IN ($seeds) GROUP BY 1),
-       |np AS (SELECT sqrt(sum(w*w)) AS norm_p FROM cen),
-       |pt AS (
-       |  SELECT i.term,
-       |         sum(i.pmi * coalesce(cen.w, 0)) AS dot_pos,
-       |         sqrt(sum(i.pmi * i.pmi)) AS norm
-       |  FROM idx i LEFT JOIN cen ON i.context = cen.context
-       |  GROUP BY 1),
+       |$posCenCtes,
        |rej AS (SELECT pt.term FROM pt, np WHERE pt.term NOT IN ($seeds)
        |        ORDER BY floor(pt.dot_pos / pt.norm / np.norm_p * 1e6
        |                       + 0.5) / 1e6 DESC,
@@ -612,7 +633,7 @@ object OracleSql {
     * score every term. Dense vectors in context order make the dot
     * products bit-identical to the Scala sorted-map iteration. */
   lazy val kgMiraScores: String = {
-    val seeds = s"'${Gen.fillNouns(0)}','${Gen.fillNouns(1)}'"
+    val seeds = seedsSql
     s"""${fillerCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |$expanderCtes,
        |ex AS MATERIALIZED (
@@ -643,6 +664,38 @@ object OracleSql {
        |         AS mira_score
        |FROM ex e, (SELECT w FROM mira ORDER BY t DESC LIMIT 1) mw""".stripMargin
   }
+
+  /** Unified term-occurrence set: filler NP suffixes (single nouns +
+    * adjective multi-word suffixes) and name terms `surface/nnp` from
+    * every sentence (F8 length/letter filter passes for the whole
+    * name pool, asserted in unit tests). */
+  private val termsCte: String =
+    s"""$baseCte$xtraCte,
+       |f2 AS (
+       |  SELECT d.doc_id AS id,
+       |         $fn1Sql AS n1,
+       |         $fn2Sql AS n2,
+       |         (d.doc_id % 6 = 0) AS hasadj,
+       |         $fadjSql AS adj
+       |  FROM documents d WHERE d.doc_id % 2 = 0
+       |),
+       |t AS (
+       |  SELECT id, n1 AS term FROM f2
+       |  UNION ALL SELECT id, n2 FROM f2
+       |  UNION ALL SELECT id, adj || ' ' || n1 FROM f2 WHERE hasadj
+       |  UNION ALL SELECT id, ($personsL)[pi+1] || '/nnp' FROM bb
+       |  UNION ALL SELECT id, CASE WHEN al THEN ($aliasesL)[gi+1]
+       |                            ELSE ($gpesL)[gi+1] END || '/nnp' FROM bb
+       |  UNION ALL SELECT id, $tourPerson || '/nnp' FROM xx WHERE k7 = 1
+       |  UNION ALL SELECT id, $tourGpe || '/nnp' FROM xx WHERE k7 IN (1, 2, 4)
+       |  UNION ALL SELECT id, $nameWord || '/nnp' FROM xx WHERE k7 = 4
+       |  UNION ALL SELECT id, $moneyPerson || '/nnp' FROM xx WHERE k7 = 3
+       |  UNION ALL SELECT id, $sp1 || '/nnp' FROM xx WHERE k7 = 5
+       |  UNION ALL SELECT id, $sp2 || '/nnp' FROM xx WHERE k7 = 5
+       |  UNION ALL SELECT id, $quantNoun FROM xx WHERE k7 = 6
+       |  UNION ALL SELECT id, $quantPerson || '/nnp' FROM xx WHERE k7 = 6
+       |  UNION ALL SELECT id, $quantGpe || '/nnp' FROM xx WHERE k7 = 6
+       |)""".stripMargin
 
   val kgTermRank: String =
     s"""$termsCte,
@@ -705,7 +758,7 @@ object OracleSql {
        |  FROM xx WHERE k7 = 5
        |),
        |seed_pairs AS (SELECT DISTINCT arg_pair FROM inst
-       |               WHERE path = '${Gen.predPaths(0)}'),
+       |               WHERE path = ${sqlStr(Gen.predPaths(0))}),
        |totals AS (SELECT path, count(DISTINCT arg_pair) AS total_count
        |           FROM inst GROUP BY 1),
        |shared AS (
@@ -714,7 +767,7 @@ object OracleSql {
        |)
        |SELECT t.path, t.total_count, coalesce(sh.score, 0) AS score
        |FROM totals t LEFT JOIN shared sh ON t.path = sh.path
-       |WHERE t.path <> '${Gen.predPaths(0)}'""".stripMargin
+       |WHERE t.path <> ${sqlStr(Gen.predPaths(0))}""".stripMargin
 
   /** O2: candidate ranking over the bootstrap scores — path→repr is a
     * pure function of the (finite) path inventory; dedupe-by-repr and
@@ -722,7 +775,7 @@ object OracleSql {
     * rows), so the oracle is scores + repr + floored norm. */
   lazy val kgBootstrapCandidates: String = {
     val reprCase = (Gen.predPaths.zip(Gen.predPhrases).map { case (p, ph) =>
-      s"WHEN '$p' THEN 'person $ph gpe'"
+      s"WHEN ${sqlStr(p)} THEN ${sqlStr(s"person $ph gpe")}"
     } ++ Seq(
       "WHEN 'nsubj-1:tour:dobj' THEN 'person toured gpe'",
       "WHEN 'nsubj-1:pay:dobj' THEN 'person paid money'",
@@ -740,9 +793,9 @@ object OracleSql {
   val kgEvents: String =
     s"""$baseCte$xtraCte
        |SELECT key, count(*) AS cnt FROM (
-       |  SELECT ($fvLemmasL)[CAST((d.doc_id*23) % 4 AS INT)+1] || ' nsubj:' ||
-       |         ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] || ' dobj:' ||
-       |         ($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1] AS key
+       |  SELECT $fvLemmaSql || ' nsubj:' ||
+       |         $fn1Sql || ' dobj:' ||
+       |         $fn2Sql AS key
        |  FROM documents d WHERE d.doc_id % 2 = 0
        |  UNION ALL
        |  SELECT 'visit nsubj:PERSON dobj:GPE' FROM bb WHERE ri = 2
@@ -759,9 +812,9 @@ object OracleSql {
   val kgEventInstances: String =
     s"""$baseCte$xtraCte
        |SELECT key, count(*) AS cnt FROM (
-       |  SELECT ($fvLemmasL)[CAST((d.doc_id*23) % 4 AS INT)+1] || ' nsubj:' ||
-       |         ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] || ' dobj:' ||
-       |         ($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1] AS key
+       |  SELECT $fvLemmaSql || ' nsubj:' ||
+       |         $fn1Sql || ' dobj:' ||
+       |         $fn2Sql AS key
        |  FROM documents d WHERE d.doc_id % 2 = 0
        |  UNION ALL
        |  SELECT 'visit nsubj:' || ${lastOf(s"($personsL)[pi+1]")} ||
@@ -787,20 +840,17 @@ object OracleSql {
   val kgEventRepr: String =
     s"""$baseCte$xtraCte
        |SELECT key, repr, min(example) AS example FROM (
-       |  SELECT ($fvLemmasL)[CAST((d.doc_id*23) % 4 AS INT)+1] || ' nsubj:' ||
-       |         ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] || ' dobj:' ||
-       |         ($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1] AS key,
-       |         ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] || ' ' ||
-       |         ($fvLemmasL)[CAST((d.doc_id*23) % 4 AS INT)+1] || ' ' ||
-       |         ($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1] AS repr,
-       |         'The ' || CASE WHEN d.doc_id % 6 = 0 THEN ($adjsL)[CAST((d.doc_id // 6) % 4 AS INT)+1] || ' ' ELSE '' END || ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] || ' ' ||
-       |         ($fverbsL)[CAST((d.doc_id*23) % 4 AS INT)+1] || ' the ' ||
-       |         ($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1] || '.' AS example
+       |  SELECT $fvLemmaSql || ' nsubj:' ||
+       |         $fn1Sql || ' dobj:' ||
+       |         $fn2Sql AS key,
+       |         $fn1Sql || ' ' ||
+       |         $fvLemmaSql || ' ' ||
+       |         $fn2Sql AS repr,
+       |         $fillerTextSql AS example
        |  FROM documents d WHERE d.doc_id % 2 = 0
        |  UNION ALL
        |  SELECT 'visit nsubj:PERSON dobj:GPE', 'person visit gpe',
-       |         ($personsL)[pi+1] || ' ' || ($phrasesL)[ri] || ' ' ||
-       |         CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END || '.'
+       |         $mainTextSql
        |  FROM bb WHERE ri = 2
        |  UNION ALL SELECT 'tour nsubj:PERSON dobj:GPE', 'person tour gpe',
        |            $tourText FROM xx WHERE k7 = 1
@@ -821,9 +871,9 @@ object OracleSql {
   val kgEventTriples: String =
     s"""$baseCte$xtraCte
        |SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
-       |       ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] AS subj,
-       |       ($fvLemmasL)[CAST((d.doc_id*23) % 4 AS INT)+1] AS pred,
-       |       ($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1] AS obj
+       |       $fn1Sql AS subj,
+       |       $fvLemmaSql AS pred,
+       |       $fn2Sql AS obj
        |FROM documents d WHERE d.doc_id % 2 = 0
        |UNION ALL
        |SELECT CAST(id AS VARCHAR),
@@ -848,7 +898,7 @@ object OracleSql {
     * produces (the repr-table merge keeps the shortest). */
   private lazy val reprValues: String = {
     val rows = Gen.predPaths.zip(Gen.predPhrases).map { case (p, ph) =>
-      s"('PERSON','$p','GPE','person $ph gpe')"
+      s"('PERSON',${sqlStr(p)},'GPE',${sqlStr(s"person $ph gpe")})"
     } ++ Seq(
       "('PERSON','nsubj-1:tour:dobj','GPE','person toured gpe')",
       "('PERSON','nsubj-1:pay:dobj','MONEY','person paid money')",
@@ -911,7 +961,7 @@ object OracleSql {
     * (engine-portable — same IEEE ops as BootstrapStage). */
   lazy val kgBootstrapEmbScores: String = {
     val emb = graft.pipeline.KgPipeline.bootstrapEmbedding.toSeq.sortBy(_._1)
-      .map { case (w, v) => s"('$w',${v(0)},${v(1)})" }.mkString(", ")
+      .map { case (w, v) => s"(${sqlStr(w)},${v(0)},${v(1)})" }.mkString(", ")
     s"""WITH $reprValues,
        |emb(w, x, y) AS (VALUES $emb),
        |rw AS (SELECT type1, path, type2, repr,
@@ -1001,13 +1051,8 @@ object OracleSql {
     * opposite-order marriage mentions are correct ONLY via the
     * symmetric swap alignment. */
   lazy val kgMentionPr: String = {
-    val fillerText =
-      s"""'The ' || CASE WHEN d.doc_id % 6 = 0 THEN ($adjsL)[CAST((d.doc_id // 6) % 4 AS INT)+1] || ' ' ELSE '' END || ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] || ' ' ||
-         |($fverbsL)[CAST((d.doc_id*23) % 4 AS INT)+1] || ' the ' ||
-         |($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1] || '.'""".stripMargin
-    val mainText =
-      s"""($personsL)[pi+1] || ' ' || ($phrasesL)[ri] || ' ' ||
-         |CASE WHEN al THEN ($aliasesL)[gi+1] ELSE ($gpesL)[gi+1] END || '.'""".stripMargin
+    val fillerText = fillerTextSql
+    val mainText = mainTextSql
     val xtraText =
       s"""CASE x.k7 WHEN 1 THEN $tourText WHEN 2 THEN $pronText
          |WHEN 3 THEN $moneyText WHEN 4 THEN $nameText WHEN 5 THEN $marryText
@@ -1057,39 +1102,6 @@ object OracleSql {
        |FROM ec, rc""".stripMargin
   }
 
-  private lazy val adjsL = sqlList(Gen.fillAdjs)
-
-  /** Unified term-occurrence set: filler NP suffixes (single nouns +
-    * adjective multi-word suffixes) and name terms `surface/nnp` from
-    * every sentence (F8 length/letter filter passes for the whole
-    * name pool, asserted in unit tests). */
-  private lazy val termsCte: String =
-    s"""$baseCte$xtraCte,
-       |f2 AS (
-       |  SELECT d.doc_id AS id,
-       |         ($nounsL)[CAST((d.doc_id*3) % 12 AS INT)+1] AS n1,
-       |         ($nounsL)[CAST((d.doc_id*5 + 7) % 12 AS INT)+1] AS n2,
-       |         (d.doc_id % 6 = 0) AS hasadj,
-       |         ($adjsL)[CAST((d.doc_id // 6) % 4 AS INT)+1] AS adj
-       |  FROM documents d WHERE d.doc_id % 2 = 0
-       |),
-       |t AS (
-       |  SELECT id, n1 AS term FROM f2
-       |  UNION ALL SELECT id, n2 FROM f2
-       |  UNION ALL SELECT id, adj || ' ' || n1 FROM f2 WHERE hasadj
-       |  UNION ALL SELECT id, ($personsL)[pi+1] || '/nnp' FROM bb
-       |  UNION ALL SELECT id, CASE WHEN al THEN ($aliasesL)[gi+1]
-       |                            ELSE ($gpesL)[gi+1] END || '/nnp' FROM bb
-       |  UNION ALL SELECT id, $tourPerson || '/nnp' FROM xx WHERE k7 = 1
-       |  UNION ALL SELECT id, $tourGpe || '/nnp' FROM xx WHERE k7 IN (1, 2, 4)
-       |  UNION ALL SELECT id, $nameWord || '/nnp' FROM xx WHERE k7 = 4
-       |  UNION ALL SELECT id, $moneyPerson || '/nnp' FROM xx WHERE k7 = 3
-       |  UNION ALL SELECT id, $sp1 || '/nnp' FROM xx WHERE k7 = 5
-       |  UNION ALL SELECT id, $sp2 || '/nnp' FROM xx WHERE k7 = 5
-       |  UNION ALL SELECT id, $quantNoun FROM xx WHERE k7 = 6
-       |  UNION ALL SELECT id, $quantPerson || '/nnp' FROM xx WHERE k7 = 6
-       |  UNION ALL SELECT id, $quantGpe || '/nnp' FROM xx WHERE k7 = 6
-       |)""".stripMargin
 
   /** Embedding-backed soft matching: with movedTo removed, `moved to`
     * paths re-rank to worksIn because sim(move,work)=0.9 and
@@ -1216,8 +1228,8 @@ object OracleSql {
        |           ORDER BY score DESC, term
        |           LIMIT ${graft.pipeline.KgPipeline.SimAt}),
        |nouns AS (
-       |  SELECT '${Gen.fillNouns(0)}' AS noun
-       |  UNION ALL SELECT '${Gen.fillNouns(1)}'
+       |  SELECT ${sqlStr(Gen.fillNouns(0))} AS noun
+       |  UNION ALL SELECT ${sqlStr(Gen.fillNouns(1))}
        |  UNION ALL SELECT term FROM r)
        |SELECT noun, 'DEMO' AS etype,
        |       noun || ' | DEMO:DEMO 1' AS dict_line
