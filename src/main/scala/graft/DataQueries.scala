@@ -215,6 +215,28 @@ object DataQueries {
     "q_distinct_users" -> ((s, d) =>
       ev(s, d).groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"))),
+    "q_stream_hourly" -> ((s, d) => {
+      // watermarked APPEND-mode windowed aggregation (the third
+      // streaming surface: complete-mode agg = q_stream_events,
+      // flatMapGroupsWithState = q_stream_sessions, watermark-evicted
+      // window state = this). A window emits once the final watermark
+      // (max ts - 10 min) passes its END — boundary INCLUSIVE
+      // (window.end <= wm), pinned by StreamingWindowSpec, and the
+      // DuckDB oracle applies the identical predicate.
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val dir = stageStreamInput(d, "graft-qhourly")
+      val name = "qsh_" + java.lang.Long.toHexString(System.nanoTime())
+      val q = graft.streaming.IncrementalIngest.windowedEventCounts(
+          s.readStream.schema(schema).parquet(dir.toString))
+        .select(col("window.start").cast("long").as("win_start_s"),
+          col("event_type"), col("n"))
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(300000))
+        throw new IllegalStateException(
+          "q_stream_hourly: stream did not terminate within 300s")
+      s.table(name)
+    }),
     "q_events_json" -> ((s, d) =>
       ev(s, d).select(col("event_type"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -259,8 +281,11 @@ object DataQueries {
       // flatMapGroupsWithState sessionization (30-min gap, 10-min
       // watermark) over a file stream drained with AvailableNow. The
       // DuckDB oracle recomputes the same semantics relationally:
-      // gap-split sessions, where a user's LAST session only emits if
-      // the final watermark (max ts - 10 min) passed its end + gap.
+      // gap-split sessions, where a session emits iff the final
+      // watermark (max ts - 10 min) passed its end + gap — the
+      // watermark-finalization rule, uniform over every session (a
+      // pending session is amendable by admissible late events until
+      // then, so emitting on gap-close alone would be premature).
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val dir = stageStreamInput(d, "graft-qsess")
       val name = "qss_" + java.lang.Long.toHexString(System.nanoTime())
@@ -517,6 +542,18 @@ object DataQueries {
           |GROUP BY 1, 2""".stripMargin,
       "q_stream_events" ->
         "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+      // boundary: window.end <= wm emits (StreamingWindowSpec pins the
+      // equality case), so the oracle predicate is <= too
+      "q_stream_hourly" ->
+        """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS t
+          |           FROM events),
+          |wm AS (SELECT max(t) - INTERVAL 10 MINUTE AS w FROM e),
+          |b AS (SELECT event_type,
+          |             time_bucket(INTERVAL 1 HOUR, t) AS ws FROM e)
+          |SELECT CAST(epoch(ws) AS BIGINT) AS win_start_s, event_type,
+          |       count(*) AS n
+          |FROM b, wm WHERE ws + INTERVAL 1 HOUR <= wm.w
+          |GROUP BY 1, 2""".stripMargin,
       "q_stream_sessions" ->
         """WITH e AS (SELECT user_id,
           |            epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),
@@ -528,14 +565,9 @@ object DataQueries {
           |        sum(brk) OVER (PARTITION BY user_id ORDER BY ms
           |                       ROWS UNBOUNDED PRECEDING) AS sid FROM o),
           |s AS (SELECT user_id, sid, min(ms) AS start_ms, max(ms) AS end_ms,
-          |             count(*) AS n_events FROM g GROUP BY 1, 2),
-          |lastsid AS (SELECT user_id, max(sid) AS msid FROM s GROUP BY 1)
+          |             count(*) AS n_events FROM g GROUP BY 1, 2)
           |SELECT s.user_id, s.start_ms, s.end_ms, s.n_events
-          |FROM s JOIN lastsid l ON s.user_id = l.user_id AND s.sid = l.msid, wm
-          |WHERE s.end_ms + 1800000 < wm.w
-          |UNION ALL
-          |SELECT s.user_id, s.start_ms, s.end_ms, s.n_events
-          |FROM s JOIN lastsid l ON s.user_id = l.user_id AND s.sid < l.msid""".stripMargin,
+          |FROM s, wm WHERE s.end_ms + 1800000 < wm.w""".stripMargin,
       "q_union_agg" ->
         """SELECT l_returnflag,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty

@@ -530,7 +530,7 @@ object KgPipeline {
         graft.functions.Quantize.q6(
           (col("rank") - col("tp")) / lit(nTotal - expansionGold.size))
       else lit(null).cast("double")
-    ranked.orderBy(desc("score"), asc("term")).limit(SimAt)
+    boundedRanking(ranked)
       .withColumn("rank", row_number().over(w))
       .withColumn("is_gold", col("term").isin(expansionGold: _*))
       .withColumn("tp", sum(when(col("is_gold"), 1).otherwise(0)).over(cum))
@@ -813,7 +813,12 @@ object KgPipeline {
     io.getOrCompute("events", inputs = Seq("annotations")) {
       EventsStage.eventCounts(EventsStage.events(annDs))
     }
-    val ruleSeq = TaggerStage.rulesFromSeeds(spark, repr, seedPhrases)
+    // lazy: rule resolution is a real Spark job (persist + two joins +
+    // a driver collect) — a fully-committed resume must read tables
+    // back without re-running it, and laziness gives exactly that (the
+    // only forcers are the "rules"/"triples" compute bodies, which a
+    // committed resume never enters)
+    lazy val ruleSeq = TaggerStage.rulesFromSeeds(spark, repr, seedPhrases)
     io.getOrCompute("rules", inputs = Seq("path_repr")) {
       Export.rulesTable(spark, ruleSeq)
     }

@@ -111,7 +111,13 @@ object StatusStore {
     text.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
       val indent = line.takeWhile(_ == ' ').length
       val t = line.trim
-      if (indent == 0 && t.endsWith(":")) section = t.dropRight(1)
+      if (indent == 0 && t.endsWith(":")) {
+        section = t.dropRight(1)
+        // a new section invalidates the name header: a hand-edited
+        // list item before any name in THIS section must not attach to
+        // the previous section's name
+        current = ""
+      }
       else if (indent == 2 && t.endsWith(":")) {
         current = unquote(t.dropRight(1))
         section match {
@@ -122,10 +128,13 @@ object StatusStore {
         }
       } else if (indent == 4 && t.startsWith("- ")) {
         val v = unquote(t.drop(2))
+        // contains-guarded like the corpora branch: a hand-edited list
+        // item with a missing/stale name header must not crash load()
+        // with a NoSuchElementException
         section match {
-          case "entitySets" =>
+          case "entitySets" if entitySets.contains(current) =>
             entitySets += current -> (entitySets(current) :+ v)
-          case "relations" =>
+          case "relations" if relations.contains(current) =>
             relations += current -> (relations(current) :+ v)
           case _ =>
         }

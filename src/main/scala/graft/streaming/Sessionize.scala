@@ -8,6 +8,14 @@ final case class SessEvent(user_id: Long, ts: java.sql.Timestamp) {
   def ts_ms: Long = ts.getTime
 }
 final case class SessState(start_ms: Long, end_ms: Long, n: Long)
+
+/** Per-user streaming state: every session the watermark has not yet
+  * finalized, sorted by start. More than one can be pending at once —
+  * a gap may have split the events, but the earlier session stays
+  * AMENDABLE until the watermark passes its end + gap (an admissible
+  * late event could still extend it or bridge it to the next one). */
+final case class SessAcc(sessions: Seq[SessState])
+
 final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
                             n_events: Long)
 
@@ -16,91 +24,91 @@ final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
   * timeout): per-user sessions close after `gapMinutes` of event-time
   * silence. The state-update rule is the pure function [[fold]] so the
   * semantics are unit-testable without a streaming harness; the
-  * streaming wrapper only adds watermark + timeout plumbing.
+  * streaming wrapper adds watermark + timeout plumbing and the
+  * watermark-finalization rule.
   */
 object Sessionize {
 
-  /** Pure per-batch state fold: merge a batch of events into an open
-    * session, emitting every session that closed (gap exceeded between
-    * sorted events). Returns (openSession, closedSessions). */
-  def fold(state: Option[SessState], events: Seq[SessEvent],
-           gapMs: Long): (Option[SessState], Seq[SessionOut]) = {
-    val sorted = events.sortBy(_.ts_ms)
-    var open = state
-    val closed = Seq.newBuilder[SessState]
-    sorted.foreach { e =>
-      open match {
-        // interval membership (not "after end") — batches can deliver
-        // late events, so an event may fall inside or before the open
-        // session; the session interval only ever widens
-        case Some(s) if e.ts_ms >= s.start_ms - gapMs &&
-            e.ts_ms <= s.end_ms + gapMs =>
-          open = Some(SessState(math.min(s.start_ms, e.ts_ms),
-            math.max(s.end_ms, e.ts_ms), s.n + 1))
-        case Some(s) if e.ts_ms > s.end_ms + gapMs =>
-          closed += s
-          open = Some(SessState(e.ts_ms, e.ts_ms, 1))
-        case Some(_) =>
-          // older than session start minus gap: beyond-late, dropped
-          ()
-        case None =>
-          open = Some(SessState(e.ts_ms, e.ts_ms, 1))
-      }
+  /** Pure per-batch state fold: merge a batch of events into the
+    * pending session set. An event joins the session whose gap
+    * interval contains it (the interval only ever widens), and the
+    * widened session absorbs any neighbor now within the gap — so after
+    * all events have arrived the set equals the batch gap-split
+    * (connected components of the "within gap" chain on sorted events)
+    * REGARDLESS of arrival order across batches. Nothing is emitted
+    * here: finalization is the watermark's job ([[sessions]]). */
+  def fold(sessions: Seq[SessState], events: Seq[SessEvent],
+           gapMs: Long): Seq[SessState] = {
+    var ss: List[SessState] = sessions.sortBy(_.start_ms).toList
+    events.sortBy(_.ts_ms).foreach { e =>
+      val t = e.ts_ms
+      val i = ss.indexWhere(s =>
+        t >= s.start_ms - gapMs && t <= s.end_ms + gapMs)
+      if (i >= 0) {
+        val s0 = ss(i)
+        var m = SessState(math.min(s0.start_ms, t),
+          math.max(s0.end_ms, t), s0.n + 1)
+        // absorb neighbors the widened interval now reaches (at most
+        // the immediate ones, but a partition is simplest and safe)
+        val (touch, keep) = ss.patch(i, Nil, 1).partition(x =>
+          x.start_ms <= m.end_ms + gapMs && m.start_ms <= x.end_ms + gapMs)
+        touch.foreach(x => m = SessState(math.min(m.start_ms, x.start_ms),
+          math.max(m.end_ms, x.end_ms), m.n + x.n))
+        ss = (m :: keep).sortBy(_.start_ms)
+      } else ss = (SessState(t, t, 1) :: ss).sortBy(_.start_ms)
     }
-    (open, closed.result().map(s => toOut(0L, s)))
+    ss
   }
 
   private def toOut(uid: Long, s: SessState): SessionOut =
     SessionOut(uid, s.start_ms, s.end_ms, s.n)
 
   /** Streaming sessionization: watermarked event stream → per-user
-    * state; closed sessions are emitted in append mode (on gap within a
-    * batch, or on event-time timeout across batches).
-    *
-    * Constraint: the watermark delay must not exceed the session gap.
-    * A closed session is final the moment the gap elapses; a watermark
-    * longer than the gap would admit events for sessions already
-    * emitted, and the fold's beyond-late branch would silently drop
-    * them (enforced below rather than documented-only). */
+    * pending-session state; a session is emitted (append mode) ONLY
+    * once the watermark passes its end + gap — the moment no admissible
+    * event (ts >= watermark) can extend it or bridge it to a later
+    * session. Emitting earlier — e.g. the within-batch gap-close rule —
+    * would split one true session in two whenever an admissible late
+    * event lands between micro-batches. The same rule makes emission
+    * correct for ANY watermark delay: a pending session is held, not
+    * finalized, so a delay longer than the gap no longer targets
+    * already-emitted sessions. */
   def sessions(events: DataFrame, gapMinutes: Int = 30,
                watermark: String = "10 minutes"): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
-    val wmMs = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
-    require(wmMs.months == 0 &&
-      wmMs.days * 86400000000L + wmMs.microseconds <= gapMs * 1000L,
-      s"watermark delay ($watermark) must be <= session gap ($gapMinutes min): " +
-        "later events would target sessions that were already emitted")
     // keep the watermarked `ts` column itself through the projection —
     // deriving a new column would strip the watermark tag the
-    // event-time timeout requires
+    // event-time timeout requires. Null user/ts rows are dropped before
+    // the stateful operator: a null event time would NPE the fold and
+    // kill the query (the late-data predicate passes nulls through).
     val typed = events
       .withColumn("ts", col("ts").cast("timestamp"))
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .withWatermark("ts", watermark)
       .select(col("user_id").cast("long").as("user_id"), col("ts"))
       .as[SessEvent]
     typed.groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessState, SessionOut](
+      .flatMapGroupsWithState[SessAcc, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, it: Iterator[SessEvent], gs: GroupState[SessState]) =>
-          if (gs.hasTimedOut) {
-            val out = gs.getOption.map(s => toOut(uid, s)).toSeq
-            gs.remove()
-            out.iterator
-          } else {
-            val (open, closed) = fold(gs.getOption, it.toSeq, gapMs)
-            open.foreach { s =>
-              gs.update(s)
-              // late events can put end+gap behind the current watermark
-              // (Spark rejects a timeout in the past) — clamp forward so
-              // the session closes at the next watermark advance
-              val floor = gs.getCurrentWatermarkMs() + 1
-              gs.setTimeoutTimestamp(math.max(s.end_ms + gapMs, floor))
-            }
-            closed.map(c => c.copy(user_id = uid)).iterator
+        (uid: Long, it: Iterator[SessEvent], gs: GroupState[SessAcc]) =>
+          val batch = if (gs.hasTimedOut) Seq.empty[SessEvent] else it.toSeq
+          val all = fold(gs.getOption.map(_.sessions).getOrElse(Nil),
+            batch, gapMs)
+          val wm = gs.getCurrentWatermarkMs()
+          // final iff the watermark passed end + gap (strict: an event
+          // AT the watermark is still admissible); pending sessions
+          // stay in state with a timeout at the earliest deadline —
+          // clamped past the watermark, which Spark requires
+          val (fin, pending) = all.partition(_.end_ms + gapMs < wm)
+          if (pending.isEmpty) gs.remove()
+          else {
+            gs.update(SessAcc(pending))
+            gs.setTimeoutTimestamp(
+              math.max(pending.map(_.end_ms + gapMs).min, wm + 1))
           }
+          fin.map(toOut(uid, _)).iterator
       }
   }
 }

@@ -102,6 +102,17 @@ class EntityFiltersSpec extends SparkSpec {
       .resolve("ice.yml")
     java.nio.file.Files.writeString(path4, handEdited)
     assert(StatusStore.load(path4.toString).entitySets === Map("s" -> Vector()))
+    // a list item before any name header in ITS section (the previous
+    // section's name must not leak across the boundary) parses without
+    // a NoSuchElementException crash
+    val handEdited2 =
+      "corpora:\n  main:\n    docCount: 5\nentitySets:\n    - budget\n"
+    val path5 = java.nio.file.Files.createTempDirectory("graft-status5")
+      .resolve("ice.yml")
+    java.nio.file.Files.writeString(path5, handEdited2)
+    val st5 = StatusStore.load(path5.toString)
+    assert(st5.corpora === Map("main" -> Map("docCount" -> "5")))
+    assert(st5.entitySets === Map.empty)
   }
 
   test("status store: fuzzed round-trip over quote/colon/escape-heavy strings") {

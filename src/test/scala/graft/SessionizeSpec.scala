@@ -9,21 +9,84 @@ class SessionizeSpec extends SparkSpec {
 
   private val gapMs = 30 * 60000L
 
-  test("fold: contiguous events extend; a gap closes and reopens") {
-    def e(m: Long) = SessEvent(1, new java.sql.Timestamp(m * 60000L))
-    val (open, closed) = Sessionize.fold(None,
-      Seq(e(0), e(10), e(20), e(120), e(125)), gapMs)
-    assert(closed.map(c => (c.start_ms, c.end_ms, c.n_events)) ===
-      Seq((0L, 20 * 60000L, 3L)))
-    assert(open === Some(SessState(120 * 60000L, 125 * 60000L, 2L)))
+  private def e(m: Long) = SessEvent(1, new java.sql.Timestamp(m * 60000L))
+  private def s(a: Long, b: Long, n: Long) =
+    SessState(a * 60000L, b * 60000L, n)
+
+  test("fold: contiguous events extend; a gap splits the pending set") {
+    assert(Sessionize.fold(Nil,
+      Seq(e(0), e(10), e(20), e(120), e(125)), gapMs) ===
+      Seq(s(0, 20, 3), s(120, 125, 2)))
   }
 
-  test("fold: resumes an open session from prior state") {
-    val prior = Some(SessState(0L, 10 * 60000L, 2L))
-    val (open, closed) = Sessionize.fold(prior,
-      Seq(SessEvent(1, new java.sql.Timestamp(20 * 60000L))), gapMs)
-    assert(closed.isEmpty)
-    assert(open === Some(SessState(0L, 20 * 60000L, 3L)))
+  test("fold: resumes pending sessions from prior state") {
+    assert(Sessionize.fold(Seq(s(0, 10, 2)), Seq(e(20)), gapMs) ===
+      Seq(s(0, 20, 3)))
+  }
+
+  test("fold: an admissible late event merges a gap-split pair back into " +
+      "one session (the premature-emission scenario)") {
+    // batch 1: 10:00 and 10:35 split into two pending sessions
+    val afterB1 = Sessionize.fold(Nil, Seq(e(600), e(635)), gapMs)
+    assert(afterB1 === Seq(s(600, 600, 1), s(635, 635, 1)))
+    // batch 2: 10:28 (>= the 10:25 watermark, so Spark delivers it) is
+    // within the gap of BOTH — the true session is one [10:00, 10:35]
+    // n=3. Under the old emit-on-gap rule the first session had already
+    // been emitted as [10:00, 10:00] n=1 — unfixably wrong in append
+    // mode; holding sessions until the watermark finalizes them is why
+    // fold merges instead of dropping or double-emitting.
+    assert(Sessionize.fold(afterB1, Seq(e(628)), gapMs) ===
+      Seq(s(600, 635, 3)))
+  }
+
+  test("fold: arrival order across batches cannot change the final set") {
+    val events = Seq(e(0), e(10), e(45), e(50), e(95), e(200))
+    val expected = Sessionize.fold(Nil, events, gapMs)
+    // every permutation, split arbitrarily into two batches
+    events.permutations.take(120).foreach { p =>
+      (0 to p.length).foreach { cut =>
+        val (b1, b2) = p.splitAt(cut)
+        val got = Sessionize.fold(Sessionize.fold(Nil, b1, gapMs), b2, gapMs)
+        assert(got === expected, s"order $p cut $cut")
+      }
+    }
+  }
+
+  test("streaming: a late admissible event merges across micro-batches " +
+      "and the watermark finalizes exactly the settled sessions") {
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-sess-late")
+    def writeBatch(name: String, mtime: Long, rows: Seq[(Long, Long)]): Unit = {
+      val stage = Files.createTempDirectory(s"graft-sess-late-$name")
+      rows.map { case (u, m) => (u, new java.sql.Timestamp(m * 60000L)) }
+        .toDF("user_id", "ts").coalesce(1).write
+        .mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      val dest = dir.resolve(s"$name.parquet")
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(mtime)): Unit
+    }
+    // mtimes force the micro-batch order (file source sorts by mtime)
+    writeBatch("b1", 1000000L, Seq((1L, 600L), (1L, 635L)))
+    writeBatch("b2", 2000000L, Seq((1L, 628L))) // late but >= wm (10:25)
+    writeBatch("b3", 3000000L, Seq((1L, 720L))) // advances wm to 11:50
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = Sessionize.sessions(stream, gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_late").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    val out = spark.table("sess_late")
+      .as[graft.streaming.SessionOut].collect().toSeq
+    // ONE finalized session [10:00, 10:35] n=3 — the 10:28 event merged
+    // the gap-split pair; [12:00] stays pending (watermark 11:50 has
+    // not passed its end + gap)
+    assert(out === Seq(graft.streaming.SessionOut(
+      1L, 600L * 60000L, 635L * 60000L, 3L)))
   }
 
   test("streaming sessions: closed sessions are plausible and consistent") {
