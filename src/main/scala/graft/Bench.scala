@@ -66,7 +66,7 @@ object Bench {
           "SPARK_GRAFT_ONLY matched no queries"
       }
       .foreach { msg =>
-        println(s"""{"metric":"total","value":0.000,"unit":"sec","queries":{},"err_count":1,"errors":{"_config":${jstr(msg)}},"reps":$reps,"rep_totals":[],"sf":${jstr(sfDir)}}""")
+        println(s"""{"metric":"total","value":0.00,"unit":"sec","queries":{},"err_count":1,"errors":{"_config":${jstr(msg)}},"rep_totals":[],"sf":${jstr(sfName(sfDir))}}""")
         spark.stop()
         sys.exit(1)
       }
@@ -111,19 +111,40 @@ object Bench {
     val results = allReps.head.map { case (name, _) =>
       name -> median(allReps.map(_(name)))
     }
-    // millisecond precision: the driver's stdout-tail capture is a few
-    // KB — 9-decimal doubles pushed the round-3 line past it, truncating
-    // 11 queries out of the artifact. 3 decimals is far below this
-    // host's ±30% run-to-run noise and keeps the whole line < ~2.5 KB.
-    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // centisecond precision: the driver's stdout-tail capture keeps
+    // exactly the LAST 2,000 bytes — round 4's 3-decimal 78-query line
+    // was 2,031 bytes, so the {"metric":… prefix fell off and `parsed`
+    // stayed null. 2 decimals (10 ms) is still far below this host's
+    // ±30% run-to-run noise; together with omitting the empty errors
+    // object / redundant reps key and shortening sf to the basename,
+    // the whole line stays comfortably under the window.
+    def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => jstr(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
-      .mkString("{", ",", "}")
+    // omit the errors object entirely when empty: err_count:0 already
+    // says it, and every byte counts against the 2,000-byte window
+    val errs =
+      if (errors.isEmpty) ""
+      else "\"errors\":" + errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString("{", ",", "},")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // rep count = rep_totals.length; a separate "reps" key is redundant
     val totals = allReps.map(r => fmt(r.values.sum)).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"err_count":${errors.size},"errors":$errs,"reps":$reps,"rep_totals":$totals,"sf":${jstr(sfDir)}}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"err_count":${errors.size},$errs"rep_totals":$totals,"sf":${jstr(sfName(sfDir))}}"""
+    if (line.getBytes("UTF-8").length >= 1950)
+      System.err.println(s"[bench] WARNING: JSON line ${line.getBytes("UTF-8").length}" +
+        " bytes — approaching the driver's 2,000-byte tail-capture window")
+    println(line)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
+  }
+
+  /** Basename of the SF dir ("/root/testdata/sf0.1" → "sf0.1") — the
+    * full path spent 16 bytes of the tail-capture window on a constant
+    * prefix. */
+  private def sfName(dir: String): String = {
+    val trimmed = dir.reverse.dropWhile(_ == '/').reverse
+    val base = trimmed.substring(trimmed.lastIndexOf('/') + 1)
+    if (base.nonEmpty) base else dir
   }
 }

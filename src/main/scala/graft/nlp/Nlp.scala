@@ -416,7 +416,12 @@ object Nlp {
     * `!isUpper` would silently diverge from the column form). */
   def seedCandidateAllowed(term: String, inSet: Set[String],
                            suggested: Set[String]): Boolean =
-    !term.endsWith("tion") && !term.endsWith("ment") &&
+    // the reference rejects the empty string explicitly
+    // (EntitySetExpander.java:97) and the vacuous headOption.forall
+    // would otherwise admit it — no current term source emits empty
+    // terms, but the library surface must match
+    term.nonEmpty &&
+      !term.endsWith("tion") && !term.endsWith("ment") &&
       !term.startsWith("www.") && !term.contains("@") &&
       !term.startsWith("http") &&
       term.headOption.forall(c => c.toLower == c) &&

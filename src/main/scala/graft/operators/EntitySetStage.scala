@@ -194,7 +194,10 @@ object EntitySetStage {
     * URLs/emails, capitalized terms, previously suggested terms. */
   def candidateAllowed(suggested: Set[String] = Set.empty) = {
     val t = col("term")
-    val base = !t.endsWith("tion") && !t.endsWith("ment") &&
+    // length > 0 mirrors the reference's explicit empty-string reject
+    // (EntitySetExpander.java:97) and the scalar twin's term.nonEmpty
+    val base = length(t) > 0 &&
+      !t.endsWith("tion") && !t.endsWith("ment") &&
       !t.startsWith("www.") && !t.startsWith("http") && !t.contains("@") &&
       substring(t, 1, 1) === lower(substring(t, 1, 1))
     if (suggested.isEmpty) base else base && !t.isin(suggested.toSeq: _*)

@@ -54,6 +54,11 @@ object IncrementalIngest {
     import org.apache.spark.sql.functions._
     events
       .withColumn("ts", col("ts").cast("timestamp"))
+      // a null event-time row would form a null-window group whose state
+      // is never watermark-evicted in append mode — output stays
+      // oracle-consistent (both sides suppress it) but the state leaks
+      // unboundedly on a continuous stream; mirror Sessionize's guard
+      .filter(col("ts").isNotNull)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"))

@@ -47,6 +47,9 @@ class EntityFiltersSpec extends SparkSpec {
     val scalarKept = vocab.filter(t =>
       Nlp.seedCandidateAllowed(t, Set.empty, suggested)).toSet
     assert(colKept === scalarKept)
+    // the reference rejects the empty string explicitly
+    // (EntitySetExpander.java:97); both encodings must too
+    assert(!colKept(""))
   }
 
   test("typeless indexer: longest-first multi-word match, head contexts, _-normalized") {
