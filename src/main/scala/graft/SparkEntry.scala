@@ -24,6 +24,8 @@ object SparkEntry {
       graft.operators.DepPathsStage.pathTypesTable(KgPipeline.instances(s, dir))),
     "kg_incremental_paths" -> ((s, dir) =>
       KgPipeline.incrementalPathTypes(s, dir)),
+    "kg_stream_incremental" -> ((s, dir) =>
+      KgPipeline.streamIncrementalPathTypes(s, dir)),
     "kg_path_instances" -> ((s, dir) =>
       graft.operators.DepPathsStage.pathsTable(KgPipeline.instances(s, dir))),
     "kg_path_ngrams" -> ((s, dir) =>
@@ -90,6 +92,8 @@ object SparkEntry {
     "kg_path_types" -> OracleSql.kgPathTypes,
     // incremental merge must be indistinguishable from a full recompute
     "kg_incremental_paths" -> OracleSql.kgPathTypes,
+    // streamed increment + merge likewise equals the full recompute
+    "kg_stream_incremental" -> OracleSql.kgPathTypes,
     "kg_path_instances" -> OracleSql.kgPathInstances,
     "kg_path_ngrams" -> OracleSql.kgPathNgrams,
     "kg_spans_roundtrip" -> OracleSql.kgSpansRoundtrip,

@@ -46,6 +46,31 @@ object IncrementalIngest {
   def tagBatch(docs: Dataset[IceDoc], rules: Seq[RelationRule]): Dataset[Triple] =
     TaggerStage.triples(DepPathsStage.instances(Preprocess.annotate(docs)), rules)
 
+  /** Stream a corpus increment (parquet `IceDoc` files appearing under
+    * `inputDir`) through the NLP preprocess into an append-only
+    * annotations table — the streaming form of the annotation-cache
+    * checkpoint (stage-1 table of the batch pipeline). Preprocess is
+    * narrow (per-doc mapPartitions), so it runs unchanged inside a
+    * micro-batch; checkpointed source offsets make the append
+    * exactly-once across restarts. The drained table then enters
+    * [[graft.operators.IncrementalPaths.mergeInstances]] where the
+    * newly-ingested doc ids are dirty by definition (no cached rows) —
+    * the reference's DepPathsLog cache semantics (DepPaths.java:585-676)
+    * as a streaming pipeline (gate `kg_stream_incremental`). */
+  def annotateStream(spark: SparkSession, inputDir: String, outDir: String,
+                     checkpointDir: String): StreamingQuery = {
+    val schema = org.apache.spark.sql.Encoders.product[IceDoc].schema
+    val docs = spark.readStream.schema(schema).parquet(inputDir).as[IceDoc](
+      org.apache.spark.sql.Encoders.product[IceDoc])
+    Preprocess.annotate(docs).toDF().writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming windowed event aggregation (watermarked) — the standard
     * late-data-tolerant rollup shape for the events table. */
   def windowedEventCounts(events: DataFrame,

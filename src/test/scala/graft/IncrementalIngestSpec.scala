@@ -42,4 +42,28 @@ class IncrementalIngestSpec extends SparkSpec {
     assert(streamed.length > afterA)
     assert(streamed === batch)
   }
+
+  test("annotateStream: streamed annotations == batch annotate; " +
+      "restart over the same checkpoint appends nothing") {
+    val base = java.nio.file.Files.createTempDirectory("graft-annstream")
+    val in = base.resolve("in").toString
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    val docs = (0L until 30L).map(Gen.doc)
+    spark.createDataset(docs).write.parquet(in)
+    IncrementalIngest.annotateStream(spark, in, out, ckpt)
+      .awaitTermination(120000)
+    val n1 = spark.read.parquet(out).count()
+    // nothing new in the source: the checkpointed offsets make the
+    // second AvailableNow drain a no-op, not a duplicate append
+    IncrementalIngest.annotateStream(spark, in, out, ckpt)
+      .awaitTermination(120000)
+    val ann = spark.read
+      .schema(org.apache.spark.sql.Encoders.product[graft.core.AnnotatedDoc].schema)
+      .parquet(out).as[graft.core.AnnotatedDoc]
+    assert(ann.count() === n1)
+    val batch = graft.operators.Preprocess.annotate(spark.createDataset(docs))
+    assert(ann.collect().sortBy(_.doc_id).toSeq
+      === batch.collect().sortBy(_.doc_id).toSeq)
+  }
 }
