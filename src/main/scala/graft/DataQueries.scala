@@ -43,7 +43,7 @@ object DataQueries {
     * disk mid-run). */
   private val stagedInputs =
     new java.util.concurrent.ConcurrentHashMap[(String, String), java.nio.file.Path]()
-  private def stageStreamInput(d: String, prefix: String): java.nio.file.Path =
+  private[graft] def stageStreamInput(d: String, prefix: String): java.nio.file.Path =
     stagedInputs.computeIfAbsent((d, prefix),
       (k: (String, String)) => doStage(k._1, k._2))
   private def doStage(d: String, prefix: String): java.nio.file.Path = {
@@ -241,6 +241,8 @@ object DataQueries {
       // DuckDB oracle applies the identical predicate.
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val dir = stageStreamInput(d, "graft-qhourly")
+      // window state on RocksDB (heap-bounded at web-scale keyspaces)
+      graft.streaming.StateStores.useRocksDb(s)
       val name = "qsh_" + java.lang.Long.toHexString(System.nanoTime())
       val q = graft.streaming.IncrementalIngest.windowedEventCounts(
           s.readStream.schema(schema).parquet(dir.toString))
@@ -280,6 +282,8 @@ object DataQueries {
       // aggregation (the DuckDB oracle).
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val dir = stageStreamInput(d, "graft-qstream")
+      // aggregation state on RocksDB (see StateStores)
+      graft.streaming.StateStores.useRocksDb(s)
       val name = "qse_" + java.lang.Long.toHexString(System.nanoTime())
       val q = s.readStream.schema(schema).parquet(dir.toString)
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
@@ -304,6 +308,9 @@ object DataQueries {
       // then, so emitting on gap-close alone would be premature).
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val dir = stageStreamInput(d, "graft-qsess")
+      // per-user session state on RocksDB: the pending-session map is
+      // the unbounded-keyspace state of this library (see StateStores)
+      graft.streaming.StateStores.useRocksDb(s)
       val name = "qss_" + java.lang.Long.toHexString(System.nanoTime())
       val stream = s.readStream.schema(schema).parquet(dir.toString)
       val q = graft.streaming.Sessionize.sessions(stream)

@@ -116,4 +116,58 @@ class SessionizeSpec extends SparkSpec {
     // closed-session event mass can't exceed the input
     assert(out.map(_.n_events).sum <= 600)
   }
+
+  test("streaming sessions at a 1e5-user keyspace on the RocksDB state " +
+      "store: state rows stay <= keys and drain to zero") {
+    val nUsers = 100000L
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-big")
+    // batch 1: two events per user inside one session (minutes 0 and 5)
+    // — pending state holds exactly one session per user after it.
+    // batch 2 (later mtime): one far-future sentinel event that drives
+    // the watermark past every user's end + gap, finalizing all 1e5
+    // sessions and draining their state.
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    def writeBatch(name: String, mtime: Long, df: org.apache.spark.sql.DataFrame): Unit = {
+      val stage = Files.createTempDirectory(s"graft-sess-big-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      val dest = dir.resolve(s"$name.parquet")
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(mtime)): Unit
+    }
+    writeBatch("b1", 1000000L,
+      spark.range(0, nUsers).select(col("id").as("user_id"))
+        .select(col("user_id"), explode(array(lit(0L), lit(5L))).as("m"))
+        .select(col("user_id"),
+          timestamp_millis(col("m") * 60000L).as("ts")))
+    writeBatch("b2", 2000000L,
+      spark.range(0, 1).select(lit(0L).as("user_id"),
+        timestamp_millis(lit(600L * 60000L)).as("ts")))
+    graft.streaming.StateStores.useRocksDb(spark)
+    try {
+      val stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      val q = Sessionize.sessions(stream, gapMinutes = 30)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sess_big").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(600000)
+      // every user's [0,5] session finalized; the sentinel stays pending
+      assert(spark.table("sess_big").count() === nUsers)
+      val stateRows = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal))
+      // fMGWS keeps ONE state row per key: never more rows than users
+      // (+1 sentinel), and the final batch drains all but the sentinel
+      assert(stateRows.nonEmpty && stateRows.max <= nUsers + 1)
+      assert(stateRows.last === 1L)
+      // the run really went through RocksDB, not the default provider
+      val custom = q.recentProgress.toSeq.flatMap(
+        _.stateOperators.toSeq.flatMap(_.customMetrics.asScala.keys))
+      assert(custom.exists(_.startsWith("rocksdb")),
+        s"no rocksdb metrics in $custom")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
