@@ -21,8 +21,13 @@ object Preprocess {
     import docs.sparkSession.implicits._
     docs.mapPartitions { it =>
       it.map { doc =>
-        val sentences = doc.spans.iterator
-          .filter(_.kind == "text")
+        // null guards (RobustnessSpec-found): a nullable parquet spans
+        // column or a null text inside a span must degrade to "no
+        // sentences", not NPE the task — the roundtrip still carries
+        // the spans column exactly as read (null stays null)
+        val spans = if (doc.spans == null) Vector.empty[SpanT] else doc.spans
+        val sentences = spans.iterator
+          .filter(sp => sp.kind == "text" && sp.text != null)
           .flatMap { sp =>
             Nlp.splitSentences(sp.text).map { case (sent, local) =>
               Nlp.analyze(sent, sp.offset + local)

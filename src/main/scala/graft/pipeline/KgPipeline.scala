@@ -836,14 +836,22 @@ object KgPipeline {
   /** Materialized end-to-end run with snapshot/manifest commits: every
     * stage writes through TableIO; a rerun (after a kill) skips every
     * stage whose snapshot is committed and recomputes only the rest. */
-  def runAll(spark: SparkSession, sfDir: String, root: String): TableIO = {
+  def runAll(spark: SparkSession, sfDir: String, root: String): TableIO =
+    runAllDocs(spark, corpus(spark, sfDir), root)
+
+  /** [[runAll]] over an explicit document Dataset — the same staged,
+    * committed pipeline for corpora that do not come from the sfDir
+    * generator (the RobustnessSpec drives adversarial out-of-grammar
+    * corpora through this). */
+  def runAllDocs(spark: SparkSession, docs: Dataset[IceDoc],
+                 root: String): TableIO = {
     val io = new TableIO(spark, root)
     // north rule: stage metric accumulators — ticked on the executors
     // inside each stage's mapPartitions, captured into every commit's
     // manifest (by-name, read after the write action)
     val metrics = new graft.sources.StageMetrics(spark)
     val ann = io.getOrCompute("annotations", metrics = metrics.snapshot) {
-      Preprocess.annotate(corpus(spark, sfDir), Some(metrics)).toDF()
+      Preprocess.annotate(docs, Some(metrics)).toDF()
     }
     import spark.implicits._
     val annDs = ann.as[AnnotatedDoc]
