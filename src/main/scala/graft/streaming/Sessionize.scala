@@ -39,25 +39,33 @@ object Sessionize {
     * here: finalization is the watermark's job ([[sessions]]). */
   def fold(sessions: Seq[SessState], events: Seq[SessEvent],
            gapMs: Long): Seq[SessState] = {
-    var ss: List[SessState] = sessions.sortBy(_.start_ms).toList
-    events.sortBy(_.ts_ms).foreach { e =>
-      val t = e.ts_ms
-      val i = ss.indexWhere(s =>
-        t >= s.start_ms - gapMs && t <= s.end_ms + gapMs)
-      if (i >= 0) {
-        val s0 = ss(i)
-        var m = SessState(math.min(s0.start_ms, t),
-          math.max(s0.end_ms, t), s0.n + 1)
-        // absorb neighbors the widened interval now reaches (at most
-        // the immediate ones, but a partition is simplest and safe)
-        val (touch, keep) = ss.patch(i, Nil, 1).partition(x =>
-          x.start_ms <= m.end_ms + gapMs && m.start_ms <= x.end_ms + gapMs)
-        touch.foreach(x => m = SessState(math.min(m.start_ms, x.start_ms),
-          math.max(m.end_ms, x.end_ms), m.n + x.n))
-        ss = (m :: keep).sortBy(_.start_ms)
-      } else ss = (SessState(t, t, 1) :: ss).sortBy(_.start_ms)
+    // The result is the connected components of the "within gap"
+    // interval graph over pending sessions + batch events, so one
+    // sorted sweep computes it directly: intervals sorted by start
+    // merge iff the next start falls within the current end + gap
+    // (pending sessions are themselves CC fixpoints — separated by
+    // more than the gap — so the sweep can never split one). This is
+    // O((n+m) log(n+m)) per key-batch where the per-event insertion
+    // scan it replaces was O(m·n) — the difference matters exactly in
+    // the adversarial gap >> watermark configs where the pending set
+    // grows (the round-4 verdict's one open operational note).
+    val items = (sessions.iterator ++
+      events.iterator.map(e => SessState(e.ts_ms, e.ts_ms, 1)))
+      .toArray.sortBy(s => (s.start_ms, s.end_ms))
+    if (items.isEmpty) return Nil
+    val out = Seq.newBuilder[SessState]
+    var cur = items(0)
+    var i = 1
+    while (i < items.length) {
+      val s = items(i)
+      if (s.start_ms <= cur.end_ms + gapMs)
+        cur = SessState(cur.start_ms, math.max(cur.end_ms, s.end_ms),
+          cur.n + s.n)
+      else { out += cur; cur = s }
+      i += 1
     }
-    ss
+    out += cur
+    out.result()
   }
 
   private def toOut(uid: Long, s: SessState): SessionOut =

@@ -52,6 +52,36 @@ class SessionizeSpec extends SparkSpec {
     }
   }
 
+  test("fold: equals the brute-force gap-split of all events, any batching") {
+    // reference: sort ALL events, split where the gap exceeds gapMs —
+    // the connected components the fold's sweep must reproduce
+    def reference(ts: Seq[Long]): Seq[SessState] = {
+      val sorted = ts.sorted
+      if (sorted.isEmpty) Nil
+      else sorted.tail.foldLeft(List(SessState(sorted.head, sorted.head, 1))) {
+        case (acc @ h :: t, x) =>
+          if (x <= h.end_ms + gapMs) SessState(h.start_ms, x, h.n + 1) :: t
+          else SessState(x, x, 1) :: acc
+        case (Nil, _) => Nil // unreachable
+      }.reverse
+    }
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { trial =>
+      val n = 1 + rnd.nextInt(40)
+      // minute-scale spread with duplicates and adversarial clumping
+      val ts = Seq.fill(n)(rnd.nextInt(2000).toLong * 60000L)
+      val events = rnd.shuffle(ts).map(m => SessEvent(1, new java.sql.Timestamp(m)))
+      // fold across 1-4 random batch cuts
+      val cuts = Seq.fill(rnd.nextInt(4))(rnd.nextInt(n + 1)).sorted
+      val batches = (0L +: cuts.map(_.toLong) :+ n.toLong).distinct
+        .sliding(2).map { case Seq(a, b) =>
+          events.slice(a.toInt, b.toInt) }.toSeq
+      val got = batches.foldLeft(Seq.empty[SessState])(
+        (st, b) => Sessionize.fold(st, b, gapMs))
+      assert(got === reference(ts), s"trial $trial ts=$ts cuts=$cuts")
+    }
+  }
+
   test("streaming: a late admissible event merges across micro-batches " +
       "and the watermark finalizes exactly the settled sessions") {
     import java.nio.file.{Files, StandardCopyOption}
