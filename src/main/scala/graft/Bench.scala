@@ -128,8 +128,13 @@ object Bench {
       else "\"errors\":" + errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
         .mkString("{", ",", "},")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // rep count = rep_totals.length; a separate "reps" key is redundant
-    val totals = allReps.map(r => fmt(r.values.sum)).mkString("[", ",", "]")
+    // rep count = rep_totals.length; a separate "reps" key is redundant.
+    // 1 decimal: raw rep totals exist to expose ±30% host drift — 100 ms
+    // resolution is already 100× below that signal, and the saved bytes
+    // buy query-count headroom inside the 2,000-byte capture window
+    val totals = allReps.map(r =>
+      "%.1f".formatLocal(java.util.Locale.ROOT, r.values.sum))
+      .mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"err_count":${errors.size},$errs"rep_totals":$totals,"sf":${jstr(sfName(sfDir))}}"""
     if (line.getBytes("UTF-8").length >= 1950)
       System.err.println(s"[bench] WARNING: JSON line ${line.getBytes("UTF-8").length}" +

@@ -175,6 +175,8 @@ object DataQueries {
       TextAnalysis.contamination(all.filter(col("doc_id") % 20 =!= 7),
         all.filter(col("doc_id") % 20 === 7))
     }),
+    "text_mix" -> ((s, d) => TextAnalysis.mixtureSample(docs(s, d))),
+    "text_pack" -> ((s, d) => TextAnalysis.packSequences(docs(s, d))),
     // --- multimodal plumbing ---
     "kg_media_features" -> ((s, d) =>
       Multimodal.extractFeatures(
@@ -558,6 +560,30 @@ object DataQueries {
         """SELECT doc_id,
           |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
           |FROM documents""".stripMargin,
+      // sampling hash = md5_number_lower % 2^32 (same digest window the
+      // simhash parity hash uses); thresholds spliced from the SAME
+      // Scala constants the Spark sampler compares against, so a
+      // boundary doc can never flip between the engines
+      "text_mix" ->
+        s"""WITH l AS ($langIdSql)
+           |SELECT doc_id, pred_lang FROM l
+           |WHERE md5_number_lower('smp:' || CAST(doc_id AS VARCHAR)) % 4294967296 <
+           |  CASE pred_lang ${TextAnalysis.mixThresholds
+                 .map { case (lg, t) => s"WHEN '$lg' THEN $t" }
+                 .mkString(" ")} ELSE 0 END""".stripMargin,
+      // identical integer arithmetic: running token sums per shard,
+      // bucket = the sequence containing the doc's starting offset
+      "text_pack" ->
+        s"""WITH t AS (SELECT doc_id,
+           |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           |    doc_id % ${TextAnalysis.packShards} AS shard FROM documents),
+           |s AS (SELECT doc_id, shard, n_tokens,
+           |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+           |         - n_tokens AS BIGINT) AS start_tok FROM t)
+           |SELECT doc_id, shard, n_tokens,
+           |  CAST(shard * 1000000 + start_tok // ${TextAnalysis.packBudget}
+           |       AS BIGINT) AS seq_id
+           |FROM s""".stripMargin,
       "q_part_supplier" ->
         """SELECT r_name, p_brand,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,

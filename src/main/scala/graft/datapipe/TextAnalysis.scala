@@ -192,4 +192,89 @@ object TextAnalysis {
         .select(col("gram"), col("doc_id").as("bench_id"))), Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(min(col("bench_id")).as("bench_id"))
+
+  // --- mixture sampling ------------------------------------------------------
+
+  /** Integer sampling threshold for a keep-rate in [0,1]: a doc is kept
+    * iff its 32-bit sampling hash is < floor(rate·2³²). Comparing
+    * integers (never floats) keeps the decision bit-identical across
+    * engines. */
+  def mixThreshold(rate: Double): Long = (rate * 4294967296.0).toLong
+
+  /** Per-language keep-rates of [[mixtureSample]] — the mixture-weighting
+    * table of a training-data pipeline (downsample the high-resource
+    * language, keep the rest). Stored as the exact integer thresholds
+    * both engines compare against (the DuckDB oracle splices these same
+    * constants, so the two sides can never disagree on a boundary doc). */
+  val mixThresholds: Seq[(String, Long)] = Seq(
+    "en" -> mixThreshold(0.5),
+    "de" -> mixThreshold(0.9),
+    "fr" -> mixThreshold(0.75),
+    "es" -> mixThreshold(0.25),
+    "unk" -> mixThreshold(0.05))
+
+  /** Deterministic per-doc sampling hash: bytes 8..11 of
+    * md5("smp:"++doc_id), little-endian — i.e. DuckDB's
+    * `md5_number_lower(…) % 2³²` (the same digest window
+    * [[graft.datapipe.Dedup.parityHash64]] uses), rebuilt here as a pure
+    * column expression (byte-swapped hex slice through `conv`) so the
+    * sampler stays inside whole-stage codegen with no UDF. Exact in a
+    * LONG (< 2³²). */
+  def sampleU32(docId: Column): Column = {
+    val h = md5(concat(lit("smp:"), docId.cast("string")))
+    conv(concat(substring(h, 23, 2), substring(h, 21, 2),
+      substring(h, 19, 2), substring(h, 17, 2)), 16, 10).cast("long")
+  }
+
+  /** Deterministic stratified mixture sampling — the
+    * dataset-reweighting op of a training-data pipeline: each doc is
+    * kept iff hash(doc_id) falls under its language's threshold. One
+    * narrow codegen'd projection + filter over the scan: no shuffle, no
+    * state, no RNG (reruns and resumed runs select the identical
+    * subset), so the operator scales embarrassingly. Because the hash
+    * is a pure function of doc_id, lowering a rate selects a strict
+    * subset of the higher rate's sample (nested samples — the property
+    * tests pin this). */
+  def mixtureSample(docs: DataFrame,
+                    thresholds: Seq[(String, Long)] = mixThresholds): DataFrame = {
+    val thr = thresholds.tail.foldLeft(
+      when(col("pred_lang") === thresholds.head._1, lit(thresholds.head._2))) {
+        case (acc, (lang, t)) => acc.when(col("pred_lang") === lang, lit(t))
+      }.otherwise(lit(0L))
+    docs.select(col("doc_id"), langIdCol(col("text")).as("pred_lang"),
+        sampleU32(col("doc_id")).as("u32"))
+      .filter(col("u32") < thr)
+      .select(col("doc_id"), col("pred_lang"))
+  }
+
+  // --- sequence packing ------------------------------------------------------
+
+  /** Deterministic distributed sequence packing — the
+    * fixed-token-budget batching op of a training-data pipeline: docs
+    * are sharded by `doc_id % shards`, laid out in doc_id order within
+    * each shard, and assigned to the sequence bucket containing their
+    * starting token offset (first-fit-contiguous packing). The only
+    * wide ops are one hash exchange on `shard` and the within-shard
+    * sort — the unavoidable serialization of a packing order — and
+    * they parallelize across shards, so `shards` is sized to the
+    * cluster (16 here for local[32]; thousands on a real cluster). All
+    * arithmetic is exact integers (token counts, running sums), so any
+    * engine derives the identical layout. */
+  /** Shipped packing geometry — shared with the DuckDB oracle SQL so the
+    * two engines always pack against the same constants. */
+  val packShards = 16
+  val packBudget = 2048
+
+  def packSequences(docs: DataFrame, shards: Int = packShards,
+                    budgetTokens: Int = packBudget): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tokens"),
+        (col("doc_id") % shards).cast("long").as("shard"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("shard") * 1000000L +
+          floor(col("start_tok") / budgetTokens).cast("long")).as("seq_id"))
+  }
 }

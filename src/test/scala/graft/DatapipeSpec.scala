@@ -260,4 +260,55 @@ class DatapipeSpec extends SparkSpec {
     val d = Dedup.exact(docs)
     assert(d.agg(sum("cnt")).first().getLong(0) === docs.count())
   }
+
+  test("sampleU32 column expr equals the JVM parity hash's low 32 bits") {
+    // the pure-column sampler (byte-swapped hex slice through conv)
+    // must agree bit-for-bit with the scalar MD5 window parityHash64
+    // reads — the same equivalence the DuckDB oracle's
+    // md5_number_lower % 2^32 relies on
+    val got = spark.range(0, 500)
+      .select(col("id"), TextAnalysis.sampleU32(col("id")).as("u"))
+      .as[(Long, Long)].collect().toMap
+    (0L until 500L).foreach { id =>
+      val expect = Dedup.parityHash64(s"smp:$id") & 0xffffffffL
+      assert(got(id) === expect, s"doc $id")
+    }
+  }
+
+  test("mixtureSample: deterministic reruns, nested at lower rates") {
+    val sampled = TextAnalysis.mixtureSample(docs)
+      .as[(Long, String)].collect().toSet
+    val again = TextAnalysis.mixtureSample(docs)
+      .as[(Long, String)].collect().toSet
+    assert(sampled === again) // no RNG anywhere: reruns identical
+    assert(sampled.nonEmpty && sampled.size < docs.count())
+    // halving every threshold must select a strict SUBSET (nested
+    // samples): the keep decision is hash < threshold, monotone in the
+    // threshold, so rate changes never reshuffle the sample
+    val half = TextAnalysis.mixThresholds.map { case (l, t) => l -> t / 2 }
+    val sub = TextAnalysis.mixtureSample(docs, half)
+      .as[(Long, String)].collect().toSet
+    assert(sub.subsetOf(sampled))
+    assert(sub.size < sampled.size)
+  }
+
+  test("packSequences matches a single-threaded reference layout") {
+    val rows = TextAnalysis.packSequences(docs)
+      .select("doc_id", "shard", "n_tokens", "seq_id")
+      .as[(Long, Long, Long, Long)].collect()
+    // every doc packed exactly once
+    assert(rows.map(_._1).distinct.length.toLong === docs.count())
+    // within each shard: docs in id order, bucket = running-token-sum
+    // offset / budget — recomputed serially here, independent of the
+    // window implementation
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      var cum = 0L
+      rs.sortBy(_._1).foreach { case (id, sh, n, seq) =>
+        assert(sh === id % TextAnalysis.packShards)
+        assert(seq === sh * 1000000L + cum / TextAnalysis.packBudget,
+          s"doc $id in shard $shard")
+        cum += n
+      }
+    }
+  }
 }

@@ -36,6 +36,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("mixture sampling is a shuffle-free projection+filter") {
+    // the sampler must stay inside the scan's codegen'd stage: no
+    // Exchange (pure per-row decision), no UDF (conv/md5 built-ins)
+    val p = plan(SparkEntry.queries("text_mix")(spark, dir))
+    assert(!p.contains("Exchange"), s"unexpected shuffle in text_mix:\n$p")
+    assert(!p.contains("UDF"), s"unexpected UDF in text_mix:\n$p")
+  }
+
+  test("sequence packing shuffles exactly once, hashed on shard") {
+    // one hash exchange on the shard key + the within-shard sort is the
+    // designed wide part; a second exchange would mean the window spec
+    // re-partitioned (e.g. a global sort slipping in)
+    val p = plan(SparkEntry.queries("text_pack")(spark, dir))
+    val exchanges = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges === 1, s"expected exactly 1 Exchange in text_pack:\n$p")
+    assert(p.contains("hashpartitioning(shard"),
+      s"exchange not hash-on-shard:\n$p")
+  }
+
   test("bucketed ANN paths join on bucket keys, not nested loops") {
     // bruteForceTopK deliberately plans a BroadcastNestedLoopJoin
     // (broadcast queries x corpus scan — every pair must be scored);
