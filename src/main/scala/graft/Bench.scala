@@ -111,15 +111,18 @@ object Bench {
     val results = allReps.head.map { case (name, _) =>
       name -> median(allReps.map(_(name)))
     }
-    // centisecond precision: the driver's stdout-tail capture keeps
-    // exactly the LAST 2,000 bytes — round 4's 3-decimal 78-query line
-    // was 2,031 bytes, so the {"metric":… prefix fell off and `parsed`
-    // stayed null. 2 decimals (10 ms) is still far below this host's
-    // ±30% run-to-run noise; together with omitting the empty errors
-    // object / redundant reps key and shortening sf to the basename,
-    // the whole line stays comfortably under the window.
+    // the driver's stdout-tail capture keeps exactly the LAST 2,000
+    // bytes — round 4's 3-decimal 78-query line was 2,031 bytes, so the
+    // {"metric":… prefix fell off and `parsed` stayed null. Per-query
+    // times print at 1 decimal (100 ms — still 100× below this host's
+    // ±30% run-to-run drift): the 81-query 2-decimal line measured
+    // 1,965 bytes at sf0.001/1-rep, within ~35 bytes of the cliff once
+    // sf0.1 medians and 3-rep totals widen it. Together with omitting
+    // the empty errors object / redundant reps key and shortening sf
+    // to the basename, the line stays comfortably under the window.
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => jstr(k) + ":" + fmt(v) }
+    def fmtQ(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => jstr(k) + ":" + fmtQ(v) }
       .mkString("{", ",", "}")
     // omit the errors object entirely when empty: err_count:0 already
     // says it, and every byte counts against the 2,000-byte window
