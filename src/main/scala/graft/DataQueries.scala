@@ -581,7 +581,7 @@ object DataQueries {
            |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
            |         - n_tokens AS BIGINT) AS start_tok FROM t)
            |SELECT doc_id, shard, n_tokens,
-           |  CAST(shard * 1000000 + start_tok // ${TextAnalysis.packBudget}
+           |  CAST(shard * ${TextAnalysis.packSeqStride} + start_tok // ${TextAnalysis.packBudget}
            |       AS BIGINT) AS seq_id
            |FROM s""".stripMargin,
       "q_part_supplier" ->

@@ -265,6 +265,13 @@ object TextAnalysis {
   val packShards = 16
   val packBudget = 2048
 
+  /** Per-shard id space: seq_id = shard * stride + bucket. 2⁴⁰ buckets
+    * per shard keeps ids collision-free up to stride × budget ≈ 2⁵¹
+    * tokens PER SHARD (a 1,000,000 stride would collide past ~2 G
+    * tokens/shard — reachable on a 100-TB corpus even at thousands of
+    * shards). shard ≤ ~16k × 2⁴⁰ still fits a BIGINT on both engines. */
+  val packSeqStride = 1L << 40
+
   def packSequences(docs: DataFrame, shards: Int = packShards,
                     budgetTokens: Int = packBudget): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -274,7 +281,7 @@ object TextAnalysis {
         (col("doc_id") % shards).cast("long").as("shard"))
       .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
-        (col("shard") * 1000000L +
+        (col("shard") * packSeqStride +
           floor(col("start_tok") / budgetTokens).cast("long")).as("seq_id"))
   }
 }

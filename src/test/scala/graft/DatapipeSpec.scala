@@ -305,7 +305,7 @@ class DatapipeSpec extends SparkSpec {
       var cum = 0L
       rs.sortBy(_._1).foreach { case (id, sh, n, seq) =>
         assert(sh === id % TextAnalysis.packShards)
-        assert(seq === sh * 1000000L + cum / TextAnalysis.packBudget,
+        assert(seq === sh * TextAnalysis.packSeqStride + cum / TextAnalysis.packBudget,
           s"doc $id in shard $shard")
         cum += n
       }
