@@ -38,17 +38,12 @@ object TermsStage {
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("cnt"))
 
-  /** `counts`-file parity (TermCounter.java:141-154 + merge
-    * IceCLI.java:592-611): term → per-doc count array, ordered by
-    * doc id for determinism at any parallelism. */
-  def termCountArrays(docs: Dataset[AnnotatedDoc]): DataFrame =
-    termDocCounts(docs)
-      .groupBy(col("term"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("cnt"))))
-        .as("rows"))
-      .select(col("term"),
-        transform(col("rows"), r => r.getField("doc_id")).as("doc_ids"),
-        transform(col("rows"), r => r.getField("cnt")).as("counts"))
+  // The reference's `counts` FILE layout (term → per-doc count array,
+  // TermCounter.java:141-154 merged by IceCLI.java:592-611) is carried
+  // relationally by `termDocCounts` above: a per-term array column
+  // would put a stopword's entire posting list in one row (unbounded
+  // per-key collect_list), so the flat (term, doc_id, cnt) table IS
+  // the scale-safe representation of that file.
 
   /** Ratio ranking (A9, TermRanker.java:84-88 with alpha=1 and +1
     * smoothing): score = fgDocFreq * ln(fgDocFreq) / (bgDocFreq + 1).
