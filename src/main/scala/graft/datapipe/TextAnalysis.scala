@@ -281,7 +281,10 @@ object TextAnalysis {
         (col("doc_id") % shards).cast("long").as("shard"))
       .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
+        // SQL `div` = exact integral division, matching the oracle's
+        // `//` for ANY budget (floor(x/y) in doubles is only exact when
+        // the budget is a power of two and the offset stays < 2⁵³)
         (col("shard") * packSeqStride +
-          floor(col("start_tok") / budgetTokens).cast("long")).as("seq_id"))
+          expr(s"start_tok div ${budgetTokens.toLong}L")).as("seq_id"))
   }
 }
