@@ -311,4 +311,33 @@ class DatapipeSpec extends SparkSpec {
       }
     }
   }
+
+  test("mix/pack null-text semantics: engine-aligned, neighbors unharmed") {
+    // Cross-engine contract for dirty corpora (the real documents
+    // tables never carry null text, so the gates can't pin this):
+    // mixtureSample treats null text as 'unk' (sampled at the unk
+    // rate); packSequences gives the null-text doc a null seq_id and
+    // lets it contribute ZERO tokens to the running sum — exactly what
+    // SQL aggregate null-skipping does on the oracle side, so both
+    // engines lay out the remaining docs identically.
+    val dirty = Seq(
+      (0L, "aaa bbb ccc"), (16L, null.asInstanceOf[String]),
+      (32L, "ddd eee"), (48L, ""), (64L, "   "))
+      .toDF("doc_id", "text")
+    val mix = TextAnalysis.mixtureSample(
+      dirty, Seq("unk" -> TextAnalysis.mixThreshold(1.0)))
+      .as[(Long, String)].collect().toMap
+    assert(mix.keySet === Set(0L, 16L, 32L, 48L, 64L)) // rate 1.0 keeps all
+    assert(mix.values.toSet === Set("unk")) // no markers + null both 'unk'
+    val packed = TextAnalysis.packSequences(dirty, shards = 1, budgetTokens = 4)
+      .select("doc_id", "n_tokens", "seq_id")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(packed(16L) === ((None, None))) // null text → null count/seq
+    // split('', '\s+') = [''] on both engines: empty/blank text counts 1
+    assert(packed(0L) === ((Some(3L), Some(0L))))  // offsets 0..2
+    assert(packed(32L) === ((Some(2L), Some(0L)))) // 3..4 (null added 0)
+    assert(packed(48L) === ((Some(1L), Some(1L)))) // 5
+    assert(packed(64L) === ((Some(1L), Some(1L)))) // 6
+  }
 }
