@@ -22,7 +22,11 @@ object Ann {
   // dropped here, centrally: every consumer feeds a UDF or a typed
   // array loop that would NPE on a null vector.
   private def normed(emb: DataFrame, idCol: String): DataFrame =
-    emb.filter(col("embedding").isNotNull)
+    // fan-out before the per-vector work (hyperplane/centroid UDFs,
+    // pairwise cosine): a single-file embedding table is a 1-task scan
+    // that would serialize those narrow passes onto one core (guide
+    // §2.5); no-op when the input is already parallel enough
+    graft.functions.Fan.out(emb.filter(col("embedding").isNotNull), col(idCol))
       .select(col(idCol),
         transform(col("embedding"), x => x.cast("double")).as("v"))
 

@@ -129,7 +129,12 @@ object Dedup {
     // candidate-restricted verify explosion. Released by the caller's
     // clearCache, like every per-query cache here.
     val gramsUdf = udf((t: String) => gramSet(t, n))
-    val docsG = docs.select(col("doc_id"), gramsUdf(col("text")).as("grams"))
+    // fan-out before the per-doc gram/signature UDFs: a single-file
+    // corpus scans as ONE task and would run the whole narrow signature
+    // pass on one core (guide §2.5); the shuffle moves raw doc rows
+    // once, before any derived column exists
+    val docsP = graft.functions.Fan.out(docs, col("doc_id"))
+    val docsG = docsP.select(col("doc_id"), gramsUdf(col("text")).as("grams"))
       .filter(size(col("grams")) > 0).persist()
     val rows = NumHashes / Bands
     val sigUdf = udf((grams: Seq[String]) => signature(grams))
@@ -273,8 +278,11 @@ object Dedup {
     val sh = udf((t: String) => simhash(simhashFeatures(t), h64))
     // persist: the self-join consumes this subtree twice; without it the
     // parquet scan + simhash UDF run once per side (released by the
-    // caller's clearCache, like every per-query cache here)
-    val sigs = docs.select(col("doc_id"), sh(col("text")).as("sig")).persist()
+    // caller's clearCache, like every per-query cache here).
+    // Fan-out first: the signature UDF is the hot narrow pass and a
+    // single-file scan would run it on one task (guide §2.5).
+    val sigs = graft.functions.Fan.out(docs, col("doc_id"))
+      .select(col("doc_id"), sh(col("text")).as("sig")).persist()
     val banded = sigs.select(col("doc_id"), col("sig"), posexplode(
       array((0 until bands).map(b =>
         shiftright(col("sig"), b * bits).bitwiseAND(lit(mask))): _*))
@@ -324,7 +332,10 @@ object Dedup {
     val ids = cand.select(explode(array(col("ida"), col("idb"))).as("doc_id"))
       .distinct()
     val gramsUdf = udf((t: String) => gramSet(t, n))
-    val candG = docs.join(ids, "doc_id")
+    // fan-out before the candidate gram pass: ids broadcast into a
+    // single-file scan would leave the gram UDF on one task
+    val candG = graft.functions.Fan.out(docs, col("doc_id"))
+      .join(ids, "doc_id")
       .select(col("doc_id"), gramsUdf(col("text")).as("grams"))
       .filter(size(col("grams")) > 0).persist()
     val sizes = candG.select(col("doc_id"), size(col("grams")).cast("long").as("sz"))
@@ -383,8 +394,11 @@ object Dedup {
     // persist the shared subtrees (no ReuseExchange across consumers):
     // vecs feeds the band keys and both verify-join sides; banded feeds
     // both candidate-join sides — without the persist the hyperplane
-    // projections run once per side
-    val vecs = emb.filter(col("embedding").isNotNull)
+    // projections run once per side. Fan-out first: a single-file
+    // embedding table scans as one task and would serialize the
+    // projection + cosine work onto one core (guide §2.5).
+    val vecs = graft.functions.Fan.out(
+        emb.filter(col("embedding").isNotNull), col("vec_id"))
       .select(col("vec_id").cast("long").as("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v")).persist()
     val banded = vecs.select(col("vec_id"),

@@ -94,8 +94,13 @@ object TextAnalysis {
     * corpus is never joined back to itself for a per-row scalar — so
     * the whole operator is one narrow scored pass + one fingerprint
     * groupBy + one semi-join that carries only (doc_id). */
-  def trainset(docs: DataFrame, minQuality: Double = 0.5,
+  def trainset(docs0: DataFrame, minQuality: Double = 0.5,
                lang: String = "en"): DataFrame = {
+    // fan-out once for both consumers (the regex-heavy score projection
+    // and the fingerprint agg): a single-file corpus is a 1-task scan
+    // that would run both passes on one core (guide §2.5); no-op on an
+    // already-parallel input
+    val docs = graft.functions.Fan.out(docs0, col("doc_id"))
     val scored = docs.select(col("doc_id"),
         qualityCol(col("text")).as("quality"),
         langIdCol(col("text")).as("pred_lang"))
@@ -187,7 +192,12 @@ object TextAnalysis {
     * broadcast-hash join — the only shuffle is the per-doc min over the
     * matching rows (the contaminated fraction, not the corpus). */
   def contamination(corpus: DataFrame, bench: DataFrame, n: Int = 8): DataFrame =
-    grams(corpus, n)
+    // corpus side fanned out before the gram explode + broadcast join:
+    // a single-file corpus scans as one task and would run the whole
+    // explode/join/partial-agg chain on one core (guide §2.5); no-op on
+    // an already-parallel input. The bench side stays unfanned — it is
+    // tiny, deduped and broadcast.
+    grams(graft.functions.Fan.out(corpus, col("doc_id")), n)
       .join(broadcast(grams(bench, n).distinct()
         .select(col("gram"), col("doc_id").as("bench_id"))), Seq("gram"))
       .groupBy(col("doc_id"))

@@ -23,17 +23,26 @@ object Canonicalize {
     val spark = edges.sparkSession
     // checkpointed once: the loop below re-reads the edge set every
     // iteration, and without truncation it would drag the (possibly
-    // expensive) upstream plan along each time
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .union(edges.select(col("src"), col("src").as("dst")))
-      .union(edges.select(col("dst").as("src"), col("dst")))
+    // expensive) upstream plan along each time. ONE scan of the edge
+    // plan (explode of the four directed/self variants), not a 4-way
+    // union that re-executes the upstream edge pipeline once per leg.
+    val sym = edges
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")),
+        struct(col("src"), col("src").as("dst")),
+        struct(col("dst").as("src"), col("dst").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .localCheckpoint()
-    // labels: node -> current component candidate (min neighbor incl. self)
+    // labels: node -> current component candidate (min neighbor incl.
+    // self). LAZY checkpoint: iteration 1 references labels three times
+    // (both propagate legs + the merge) — the shared underlying RDD is
+    // computed once inside that first job and the eager init job the
+    // old shape paid is gone.
     var labels = sym.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("comp"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -43,8 +52,6 @@ object Canonicalize {
       // O(d), which is what makes the O(log diameter) bound real (the
       // neighbor leg alone advances one hop per round). Every comp
       // value is itself a node id, so the self-join always resolves.
-      // The convergence flag rides along in the same pass (one
-      // checkpoint job + one tiny agg per iteration).
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
@@ -53,6 +60,10 @@ object Canonicalize {
         .join(labels.select(col("id").as("comp"), col("comp").as("cc")),
           Seq("comp"))
         .select(col("id"), col("cc"))
+      // LAZY checkpoint + one aggregation action: the agg computes every
+      // partition, which materializes the checkpoint as a side effect —
+      // one job per iteration where the eager-checkpoint-then-count
+      // shape paid two (the convergence flag rides in the same pass)
       val next = labels
         .join(viaNeighbors, Seq("id"), "left")
         .join(viaComp, Seq("id"), "left")
@@ -62,7 +73,7 @@ object Canonicalize {
           col("comp").as("old_c"))
         .select(col("id"), col("new_c").as("comp"),
           (col("new_c") < col("old_c")).cast("long").as("chg"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = next.agg(coalesce(sum(col("chg")), lit(0L))).first().getLong(0)
       labels = next.drop("chg")
       iter += 1

@@ -48,11 +48,28 @@ object IncrementalPaths {
                      changedTokens: Set[String]): DataFrame = {
     val spark = ann.sparkSession
     import spark.implicits._
-    val tokDirtyIds = dirtyDocs(ann, changedTokens).map(_.doc_id).toDF("doc_id")
+    // ONE pass over the heavyweight annotated table derives a light
+    // (doc_id, tok_dirty) proxy; every merge decision below joins on
+    // that proxy instead of re-scanning (and re-decoding the nested
+    // rows of) `ann` per leg — the old shape took four full ann passes
+    // (token filter, new-id anti, dirty semi, kept semi), this one
+    // takes two (the proxy pass + the dirty-doc semi that mining needs
+    // full rows for). Guide §8: decide with small rows, move heavy rows
+    // once.
+    val bc = spark.sparkContext.broadcast(changedTokens)
+    val annIds = ann
+      .map(d => (d.doc_id, docTokens(d).exists(bc.value)))
+      .toDF("doc_id", "tok_dirty").persist()
     val priorIds = prior.toDF().select(col("doc_id")).distinct()
-    val newIds = ann.toDF().select(col("doc_id"))
+    val newIds = annIds.select(col("doc_id"))
       .join(priorIds, Seq("doc_id"), "left_anti")
-    val dirtyIds = tokDirtyIds.union(newIds).distinct()
+    val dirtyIds = annIds.filter(col("tok_dirty")).select(col("doc_id"))
+      .union(newIds).distinct().persist()
+    // materialize the two small proxies with one bounded action: the
+    // consumers below launch concurrently under AQE, and cold
+    // concurrent consumers re-execute a shared uncached subtree once
+    // each (measured as duplicate shuffle-map jobs)
+    dirtyIds.count()
     val dirty = ann.toDF().join(dirtyIds, Seq("doc_id"), "left_semi")
       .as[AnnotatedDoc]
     // no broadcast hint: the dirty list is small on a steady-state
@@ -62,7 +79,7 @@ object IncrementalPaths {
     // broadcast strategy itself whenever the list really is small.
     val kept = prior.toDF()
       .join(dirtyIds, Seq("doc_id"), "left_anti")
-      .join(ann.toDF().select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .join(annIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
     kept.unionByName(DepPathsStage.instances(dirty).toDF())
   }
 }
