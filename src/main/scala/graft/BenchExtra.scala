@@ -78,7 +78,15 @@ object BenchExtra {
     } catch { case _: Throwable => () }
     val names =
       if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
-    names.foreach { name =>
+    names.foreach { name0 =>
+      // "set:key=value" pseudo-entries flip session confs mid-run, so
+      // an A/B comparison runs inside ONE JVM (same JIT/host window)
+      if (name0.startsWith("set:")) {
+        val Array(k, v) = name0.stripPrefix("set:").split("=", 2)
+        spark.conf.set(k, v)
+        println(s"==== conf $k=$v")
+      } else {
+      val name = name0
       val fn = SparkEntry.queries(name)
       (1 to 2).foreach { rep =>
         col.reset()
@@ -89,11 +97,13 @@ object BenchExtra {
         // give listener events a moment to drain
         Thread.sleep(200)
         println(f"==== $name rep$rep total $dt%.2f s, ${col.rows.length} jobs")
-        if (rep == 2) col.rows.foreach { r =>
-          println(f"  job ${r.jobId}%4d ${r.ms}%6d ms stages=${r.stages}%2d " +
-            f"tasks=${r.tasks}%4d shufR=${r.shufRead}%9d shufW=${r.shufWrite}%9d" +
-            f" ${r.names.take(140)}")
-        }
+        if (rep == 2 && !sys.env.contains("SPARK_GRAFT_EXTRA_QUIET"))
+          col.rows.foreach { r =>
+            println(f"  job ${r.jobId}%4d ${r.ms}%6d ms stages=${r.stages}%2d " +
+              f"tasks=${r.tasks}%4d shufR=${r.shufRead}%9d shufW=${r.shufWrite}%9d" +
+              f" ${r.names.take(140)}")
+          }
+      }
       }
     }
     spark.stop()

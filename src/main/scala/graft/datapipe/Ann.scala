@@ -21,12 +21,14 @@ object Ann {
   // cosineSim normalizes inside its fused loop. Null embeddings are
   // dropped here, centrally: every consumer feeds a UDF or a typed
   // array loop that would NPE on a null vector.
+  // NOTE (round 6, measured): a Fan.out repartition here was tried and
+  // REVERTED — the ANN gate queries do light per-vector work (10-query
+  // cosine scans, small windows), and the same-JVM A/B showed the fan's
+  // 32-task stages costing more than the serial pass saved (ann_lsh
+  // 0.32 s unfanned vs 0.63 s fanned; ann_topk 0.22 vs 0.30). The
+  // heavy-per-pair embedding near-dup operator keeps its fan (Dedup).
   private def normed(emb: DataFrame, idCol: String): DataFrame =
-    // fan-out before the per-vector work (hyperplane/centroid UDFs,
-    // pairwise cosine): a single-file embedding table is a 1-task scan
-    // that would serialize those narrow passes onto one core (guide
-    // §2.5); no-op when the input is already parallel enough
-    graft.functions.Fan.out(emb.filter(col("embedding").isNotNull), col(idCol))
+    emb.filter(col("embedding").isNotNull)
       .select(col(idCol),
         transform(col("embedding"), x => x.cast("double")).as("v"))
 

@@ -125,25 +125,34 @@ object Dedup {
     // shape paid a distinct-shuffle plus a collect_list shuffle over
     // every gram in the corpus before a single signature existed; at
     // 100 TB those two full-corpus shuffles dominate the operator).
-    // Persisted: feeds the signatures, the size marginals and the
-    // candidate-restricted verify explosion. Released by the caller's
+    // ONE fused pass derives (signature, gram-set size) per doc — the
+    // only two things the corpus-wide stages need — so the full-corpus
+    // cache holds 97 longs/doc instead of every gram array (the old
+    // docsG persist); grams are re-derived later ONLY for candidate
+    // docs (the near-dup fraction), like simhashNearDup does.
+    // Fan-out before the UDF: a single-file corpus scans as ONE task
+    // and would run the whole narrow signature pass on one core (guide
+    // §2.5); the shuffle moves raw doc rows once, before any derived
+    // column exists. Persisted: feeds the band explode (twice, via the
+    // self-join) and the size marginals; released by the caller's
     // clearCache, like every per-query cache here.
-    val gramsUdf = udf((t: String) => gramSet(t, n))
-    // fan-out before the per-doc gram/signature UDFs: a single-file
-    // corpus scans as ONE task and would run the whole narrow signature
-    // pass on one core (guide §2.5); the shuffle moves raw doc rows
-    // once, before any derived column exists
+    val sigSzUdf = udf { (t: String) =>
+      val g = gramSet(t, n)
+      if (g.isEmpty) None else Some((signature(g), g.size.toLong))
+    }
     val docsP = graft.functions.Fan.out(docs, col("doc_id"))
-    val docsG = docsP.select(col("doc_id"), gramsUdf(col("text")).as("grams"))
-      .filter(size(col("grams")) > 0).persist()
+    val base = docsP.select(col("doc_id"), sigSzUdf(col("text")).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id"), col("s._1").as("sig"), col("s._2").as("sz"))
+      .persist()
     val rows = NumHashes / Bands
-    val sigUdf = udf((grams: Seq[String]) => signature(grams))
-    val sigs = docsG.select(col("doc_id"), sigUdf(col("grams")).as("sig"))
-    // band key = (band index, hash of the band's rows)
-    val banded = sigs.select(col("doc_id"), posexplode(
+    // band key = (band index, hash of the band's rows); the explode is
+    // a cheap narrow op over the cached base, so it needs no cache of
+    // its own
+    val banded = base.select(col("doc_id"), posexplode(
       transform(sequence(lit(0), lit(Bands - 1)),
         b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b)))
-      .as(Seq("band", "bkey"))).persist()
+      .as(Seq("band", "bkey")))
     // persisted: consumed twice (the candidate-doc id list + the
     // verify join itself)
     val cand = banded.as("a").join(banded.as("b"),
@@ -151,14 +160,21 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .distinct().persist()
-    // exact-verify candidates only: grams are exploded ONLY for docs
-    // that appear in some candidate pair — at scale that is the near-dup
-    // fraction of the corpus, not the corpus
+    // exact-verify candidates only: grams are computed and exploded
+    // ONLY for docs that appear in some candidate pair — at scale that
+    // is the near-dup fraction of the corpus, not the corpus
     val ids = cand.select(explode(array(col("ida"), col("idb"))).as("doc_id"))
       .distinct()
-    val candG = docsG.join(ids, "doc_id")
-      .select(col("doc_id"), explode(col("grams")).as("gram")).persist()
-    val sizes = docsG.select(col("doc_id"), size(col("grams")).cast("long").as("sz"))
+    val gramsUdf = udf((t: String) => gramSet(t, n))
+    // join FIRST, fan the surviving candidate rows after: fanning the
+    // raw corpus here would shuffle every document's text a second time
+    // just to throw the non-candidates away behind the join (probe =
+    // the raw scan — the joined frame's own probe would eagerly
+    // execute the candidate subtree)
+    val candG = graft.functions.Fan.outLike(
+        docs.join(ids, "doc_id"), docs, col("doc_id"))
+      .select(col("doc_id"), explode(gramsUdf(col("text"))).as("gram")).persist()
+    val sizes = base.select(col("doc_id"), col("sz"))
     val shared = candG.select(col("doc_id").as("ida"), col("gram"))
       .join(cand, "ida")
       .join(candG.select(col("doc_id").as("idb"), col("gram")), Seq("idb", "gram"))
@@ -332,10 +348,13 @@ object Dedup {
     val ids = cand.select(explode(array(col("ida"), col("idb"))).as("doc_id"))
       .distinct()
     val gramsUdf = udf((t: String) => gramSet(t, n))
-    // fan-out before the candidate gram pass: ids broadcast into a
-    // single-file scan would leave the gram UDF on one task
-    val candG = graft.functions.Fan.out(docs, col("doc_id"))
-      .join(ids, "doc_id")
+    // join FIRST (candidate ids into the scan), fan the surviving rows
+    // after: the candidate fraction is what needs gram-building
+    // parallelism, and fanning the raw corpus would shuffle every
+    // document's text just to drop non-candidates behind the join
+    // (probe = the raw scan, see Fan.outLike)
+    val candG = graft.functions.Fan.outLike(
+        docs.join(ids, "doc_id"), docs, col("doc_id"))
       .select(col("doc_id"), gramsUdf(col("text")).as("grams"))
       .filter(size(col("grams")) > 0).persist()
     val sizes = candG.select(col("doc_id"), size(col("grams")).cast("long").as("sz"))

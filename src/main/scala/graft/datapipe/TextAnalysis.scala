@@ -94,13 +94,11 @@ object TextAnalysis {
     * corpus is never joined back to itself for a per-row scalar — so
     * the whole operator is one narrow scored pass + one fingerprint
     * groupBy + one semi-join that carries only (doc_id). */
-  def trainset(docs0: DataFrame, minQuality: Double = 0.5,
+  def trainset(docs: DataFrame, minQuality: Double = 0.5,
                lang: String = "en"): DataFrame = {
-    // fan-out once for both consumers (the regex-heavy score projection
-    // and the fingerprint agg): a single-file corpus is a 1-task scan
-    // that would run both passes on one core (guide §2.5); no-op on an
-    // already-parallel input
-    val docs = graft.functions.Fan.out(docs0, col("doc_id"))
+    // (round 6: a Fan.out over the corpus was tried and reverted —
+    // measured 0.72 s unfanned vs 1.12 s fanned in a same-JVM A/B; the
+    // scoring projection is too cheap per row to buy back the shuffle)
     val scored = docs.select(col("doc_id"),
         qualityCol(col("text")).as("quality"),
         langIdCol(col("text")).as("pred_lang"))
@@ -251,6 +249,8 @@ object TextAnalysis {
       when(col("pred_lang") === thresholds.head._1, lit(thresholds.head._2))) {
         case (acc, (lang, t)) => acc.when(col("pred_lang") === lang, lit(t))
       }.otherwise(lit(0L))
+    // (round 6: a Fan.out was tried and reverted — 0.56 s unfanned vs
+    // 0.69 s fanned in a same-JVM A/B; the zero-exchange plan stands)
     docs.select(col("doc_id"), langIdCol(col("text")).as("pred_lang"),
         sampleU32(col("doc_id")).as("u32"))
       .filter(col("u32") < thr)

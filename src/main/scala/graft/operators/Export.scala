@@ -86,17 +86,13 @@ object Export {
     val reAgg = respEnts.select(col("doc_id"), col("head_end"))
       .groupBy(col("doc_id"), col("head_end"))
       .agg(count(lit(1)).as("r_cnt"))
-    val entRow = ke.join(reAgg, Seq("doc_id", "head_end"), "full_outer")
+    val entAgg = ke.join(reAgg, Seq("doc_id", "head_end"), "full_outer")
       .agg(
         coalesce(count(when(col("in_k").isNotNull && col("r_cnt").isNotNull,
-          lit(1))), lit(0L)).as("correct"),
-        coalesce(sum(col("r_cnt")), lit(0L)).as("resp_total"),
+          lit(1))), lit(0L)).as("ent_correct"),
+        coalesce(sum(col("r_cnt")), lit(0L)).as("ent_resp_total"),
         coalesce(count(when(col("r_cnt").isNull, lit(1))), lit(0L))
-          .as("missing"))
-      .first()
-    val correctEntN = entRow.getLong(0)
-    val spuriousEntN = entRow.getLong(1) - correctEntN
-    val missingEntN = entRow.getLong(2)
+          .as("ent_missing"))
     // Relation alignment with the reference's CONSUMPTION semantics
     // (TypedRelationExtractorScorer.java:97-137): each key mention is
     // consumed by at most one response (correct on pred agreement, type
@@ -140,14 +136,21 @@ object Export {
         }
         Iterator((correct, typeErr, spurious, keys.length.toLong))
       }
-    val rel = groupCounts.toDF("c", "t", "s", "m")
+    val relAgg = groupCounts.toDF("c", "t", "s", "m")
       .agg(coalesce(sum(col("c")), lit(0L)), coalesce(sum(col("t")), lit(0L)),
         coalesce(sum(col("s")), lit(0L)), coalesce(sum(col("m")), lit(0L)))
-      .first()
-    val correctRelN = rel.getLong(0)
-    val typeErrN = rel.getLong(1)
-    val spuriousRelN = rel.getLong(2)
-    val missingRelN = rel.getLong(3)
+    // ONE action for both scorecard halves: the 1-row entity aggregate
+    // and the 1-row relation aggregate cross-joined and collected
+    // together — the previous two sequential .first() actions each paid
+    // a full plan+schedule round trip
+    val row = entAgg.crossJoin(relAgg).first()
+    val correctEntN = row.getLong(0)
+    val spuriousEntN = row.getLong(1) - correctEntN
+    val missingEntN = row.getLong(2)
+    val correctRelN = row.getLong(3)
+    val typeErrN = row.getLong(4)
+    val spuriousRelN = row.getLong(5)
+    val missingRelN = row.getLong(6)
     val respN = correctRelN + typeErrN + spuriousRelN
     val precision =
       if (respN == 0) 0.0 else correctRelN.toDouble / respN

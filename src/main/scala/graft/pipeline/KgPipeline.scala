@@ -29,16 +29,21 @@ object KgPipeline {
   /** The synthetic interleaved corpus, derived deterministically from
     * the driver's `documents` table ids (TESTDATA.md) so an independent
     * SQL oracle can recompute every expected output. */
+  // NOTE (round 6, measured): the corpus scan is one small parquet
+  // file → a 1-task scan, and the narrow NLP chain runs serially on
+  // it. A Fan.out repartition here was tried and REVERTED: at bench
+  // scale the per-doc NLP work (~0.2-0.3 s/query total) is cheaper
+  // than the 32-task scheduling overhead the fan added to every
+  // downstream stage (interleaved same-JVM A/B: e.g. kg_term_rank_top10
+  // 0.40 s unfanned vs 1.15 s fanned; kg_mention_pr 1.2 vs 2.8).
+  // A production corpus is file-parallel at the scan, so the fan buys
+  // nothing there either; heavy-per-row operators that DO profit keep
+  // it (Dedup/embedding — see Fan.scala).
   def corpus(spark: SparkSession, sfDir: String): Dataset[IceDoc] = {
     import spark.implicits._
-    // fan-out BEFORE the synthesis + NLP chain: the documents table is
-    // one small parquet file at bench scale → a 1-task scan that would
-    // otherwise serialize every narrow per-doc stage onto one core
-    // (guide §2.5). The shuffle moves 8-byte ids, never documents.
-    graft.functions.Fan.out(
-        spark.read.parquet(s"$sfDir/documents.parquet")
-          .select(col("doc_id").cast("long").as("doc_id")), col("doc_id"))
-      .as[Long].map(Gen.doc _)
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long")).as[Long]
+      .map(Gen.doc _)
   }
 
   def annotated(spark: SparkSession, sfDir: String): Dataset[AnnotatedDoc] =
@@ -47,18 +52,12 @@ object KgPipeline {
   /** Corpus slice by doc_id residue, filtered BEFORE document synthesis
     * and NLP — the fg/bg ranking queries annotate only their slice
     * instead of annotating the whole corpus once per slice. */
-  /** @param fan set false when the caller only STAGES the slice (e.g.
-    *   writes it as a stream input) — synthesis is trivial there and the
-    *   fan-out shuffle would just fragment the staged file. */
   private def corpusSlice(spark: SparkSession, sfDir: String,
-                          mod: Long, res: Long,
-                          fan: Boolean = true): Dataset[IceDoc] = {
+                          mod: Long, res: Long): Dataset[IceDoc] = {
     import spark.implicits._
-    // same 1-task-scan fan-out as corpus(): ids shuffle, docs don't
-    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+    spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"))
       .filter(col("doc_id") % mod === res)
-    (if (fan) graft.functions.Fan.out(ids, col("doc_id")) else ids)
       .as[Long].map(Gen.doc _)
   }
 
@@ -67,10 +66,9 @@ object KgPipeline {
   private def corpusSliceNot(spark: SparkSession, sfDir: String,
                              mod: Long, res: Long): Dataset[IceDoc] = {
     import spark.implicits._
-    graft.functions.Fan.out(
-        spark.read.parquet(s"$sfDir/documents.parquet")
-          .select(col("doc_id").cast("long").as("doc_id"))
-          .filter(col("doc_id") % mod =!= res), col("doc_id"))
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(col("doc_id") % mod =!= res)
       .as[Long].map(Gen.doc _)
   }
 
@@ -498,7 +496,10 @@ object KgPipeline {
     // but the two filters would otherwise re-run the decode
     val decodes = TaggerStage.mentionDecodesBoth(inst, keyRules, respRules)
       .persist()
-    val ents = mentionHeads(ann)
+    // persisted: the scorer consumes the entity table twice (key + resp
+    // sides), and each pass would otherwise re-run the heads flatMap
+    // over — and re-decode the nested rows of — the cached annotations
+    val ents = mentionHeads(ann).persist()
     Export.scoreMentions(ents, ents,
         decodes.filter(col("side") === "k").drop("side"),
         decodes.filter(col("side") === "r").drop("side"),
@@ -842,10 +843,7 @@ object KgPipeline {
     val in = root.resolve("in").toString
     val out = root.resolve("ann").toString
     val chk = root.resolve("chk").toString
-    // fan=false: this is input STAGING (one small file the stream then
-    // drains); the NLP parallelism lives inside annotateStream's own
-    // repartition, and fanning here would only fragment the staged file
-    corpusSlice(spark, sfDir, 5, 3, fan = false).toDF()
+    corpusSlice(spark, sfDir, 5, 3).toDF()
       .write.mode("overwrite").parquet(in)
     val q = graft.streaming.IncrementalIngest.annotateStream(
       spark, in, out, chk)

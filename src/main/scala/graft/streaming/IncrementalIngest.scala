@@ -60,15 +60,8 @@ object IncrementalIngest {
   def annotateStream(spark: SparkSession, inputDir: String, outDir: String,
                      checkpointDir: String): StreamingQuery = {
     val schema = org.apache.spark.sql.Encoders.product[IceDoc].schema
-    // repartition ahead of the NLP mapPartitions: a micro-batch drains
-    // whatever file slice the source lists — often one file, i.e. one
-    // task — and the annotate pass is the expensive stage (guide §2.5's
-    // unsplittable-input fix, streaming form: deterministic hash on
-    // doc_id, light pre-NLP rows)
-    val docs = spark.readStream.schema(schema).parquet(inputDir)
-      .repartition(spark.sparkContext.defaultParallelism,
-        org.apache.spark.sql.functions.col("doc_id"))
-      .as[IceDoc](org.apache.spark.sql.Encoders.product[IceDoc])
+    val docs = spark.readStream.schema(schema).parquet(inputDir).as[IceDoc](
+      org.apache.spark.sql.Encoders.product[IceDoc])
     Preprocess.annotate(docs).toDF().writeStream
       .outputMode("append")
       .format("parquet")

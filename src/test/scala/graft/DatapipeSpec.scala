@@ -313,13 +313,18 @@ class DatapipeSpec extends SparkSpec {
   }
 
   test("mix/pack null-text semantics: engine-aligned, neighbors unharmed") {
-    // Cross-engine contract for dirty corpora (the real documents
-    // tables never carry null text, so the gates can't pin this):
-    // mixtureSample treats null text as 'unk' (sampled at the unk
-    // rate); packSequences gives the null-text doc a null seq_id and
-    // lets it contribute ZERO tokens to the running sum — exactly what
-    // SQL aggregate null-skipping does on the oracle side, so both
-    // engines lay out the remaining docs identically.
+    // Contract for dirty corpora (the real documents tables never
+    // carry null text, so the gates can't pin this): mixtureSample
+    // treats null text as 'unk' (sampled at the unk rate);
+    // packSequences gives the null-text doc a null seq_id and lets it
+    // contribute ZERO tokens to the running sum — what SQL aggregate
+    // null-skipping does on the oracle side, so both engines lay out
+    // the remaining docs identically. NOTE (round-5 ADVICE): only the
+    // PACKING side is engine-aligned for nulls — the DuckDB langIdSql
+    // oracle's CASE falls through to 'es' on null text where Spark's
+    // langIdCol maps it to 'unk'; this test pins the Spark semantics
+    // only, and the gates stay aligned because the fixtures carry no
+    // null text.
     val dirty = Seq(
       (0L, "aaa bbb ccc"), (16L, null.asInstanceOf[String]),
       (32L, "ddd eee"), (48L, ""), (64L, "   "))
