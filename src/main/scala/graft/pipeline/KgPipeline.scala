@@ -543,26 +543,28 @@ object KgPipeline {
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val goldN = lit(expansionGold.size.toDouble)
     val ranked = entityExpansion(spark, sfDir)
-    // N of the reference's fpr denominator = the FULL ranking size
-    // (one count action over the persisted index chain)
-    val nTotal = ranked.count().toDouble
-    // guard the fpr denominator: a ranking no larger than the gold set
-    // (tiny corpus / heavy filtering) would divide by <= 0 — emit NULL
-    // fpr instead, identically on the DuckDB oracle side
-    val fpr =
-      if (nTotal > expansionGold.size)
-        graft.functions.Quantize.q6(
-          (col("rank") - col("tp")) / lit(nTotal - expansionGold.size))
-      else lit(null).cast("double")
+    // N of the reference's fpr denominator = the FULL ranking size —
+    // carried as a 1-row cross join instead of a driver-side count()
+    // action, so the whole query is ONE action (the old shape paid a
+    // full pass over the expansion chain just to fetch N, then a
+    // second for the real result). Same arithmetic bit-for-bit: the
+    // count is an exact integer, the subtraction/division run in
+    // doubles either way, and the <= gold-size guard (NULL fpr —
+    // identical on the DuckDB oracle side) becomes a codegen'd when().
+    val nTotalDf = ranked.agg(count(lit(1)).cast("double").as("n_total"))
     boundedRanking(ranked)
       .withColumn("rank", row_number().over(w))
       .withColumn("is_gold", col("term").isin(expansionGold: _*))
       .withColumn("tp", sum(when(col("is_gold"), 1).otherwise(0)).over(cum))
+      .crossJoin(nTotalDf)
       .select(col("rank"), col("term"), col("is_gold"),
         graft.functions.Quantize.q6(col("tp") / col("rank"))
           .as("precision_at"),
         graft.functions.Quantize.q6(col("tp") / goldN).as("recall_at"),
-        fpr.as("fpr"))
+        when(col("n_total") > goldN,
+          graft.functions.Quantize.q6(
+            (col("rank") - col("tp")) / (col("n_total") - goldN)))
+          .otherwise(lit(null).cast("double")).as("fpr"))
   }
 
   /** Emitted-rank cap of [[entitySim]] and of every driver-side collect
@@ -812,11 +814,13 @@ object KgPipeline {
     // prior persisted too: mergeInstances consumes it twice (the
     // prior-id distinct and the kept-side anti-join) and the path-mining
     // flatMap would otherwise run once per consumer even off cached ann
+    // persisted (two merge consumers), but NOT eagerly counted: with
+    // the corpus unfanned there is no exchange below this cache, so
+    // concurrent cold consumers block-lock per partition instead of
+    // duplicating work — an eager count here was measured as a pure
+    // extra serial pass. (streamIncrementalPathTypes keeps its count
+    // because it overlaps the stream drain for free.)
     val prior = DepPathsStage.instances(ann).persist()
-    // same cold-cache race fix as streamIncrementalPathTypes: populate
-    // the ann + prior caches in one pass before the merge's concurrent
-    // subtrees, so none of them re-executes the mining flatMap
-    prior.count()
     val merged = IncrementalPaths.mergeInstances(prior, ann,
       changedTokens = Set("chicago", "seattle"))
     DepPathsStage.pathTypesTable(merged.as[PathInstance])
