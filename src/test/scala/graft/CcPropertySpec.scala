@@ -36,6 +36,21 @@ class CcPropertySpec extends SparkSpec {
     assert(got.size == 20 && got.values.forall(_ == "n00"), got.toString)
   }
 
+  test("round-6 loop internals: a 256-node chain converges within 10 rounds") {
+    // pins the reworked iteration shape (lazy localCheckpoint
+    // materialized by the same convergence-count action; single-scan
+    // explode symmetrization) at a depth where pointer doubling is
+    // genuinely load-bearing: one-hop propagation would need ~255
+    // rounds, log2(diameter) needs ~8-9 — and each round's checkpoint
+    // must truncate lineage or the later iterations' plans blow up.
+    val edges = (0 until 255).map(i => (f"n$i%03d", f"n${i + 1}%03d"))
+    val got = Canonicalize.connectedComponents(edges.toDF("src", "dst"),
+        maxIter = 10)
+      .as[(String, String)].collect().toMap
+    assert(got.size == 256 && got.values.forall(_ == "n000"),
+      got.filter(_._2 != "n000").take(5).toString)
+  }
+
   test("CC labels == union-find minima on 15 random graphs") {
     val g = Gen.listOfN(12,
       Gen.zip(Gen.choose(0, 9), Gen.choose(0, 9))
